@@ -1,0 +1,334 @@
+"""Attention blocks: outlook attention, grid MHSA, and the hybrid OutGrid block.
+
+All NHWC, all permute-free. Analysis capture uses Flax ``sow`` into the
+"intermediates" collection instead of forward hooks (the reference hooks conv
+outputs / stashes attn tensors on modules, `src/model/grid_attention.py:77-83`,
+`src/experiments/heat_map_att_outlooker.py:12-53`); run any model with
+``mutable=["intermediates"]`` and ``capture=True`` to get the same tensors,
+keyed by module path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from outgridvit_tpu.ops.grid import grid_partition, grid_unpartition
+from outgridvit_tpu.ops.outlook import outlook_aggregate
+from outgridvit_tpu.models.layers import ChannelMLP, DropPath, LayerNorm, MBConv
+from outgridvit_tpu.stage_config import MBConvConfig, StageCfg
+
+Dtype = jnp.dtype
+
+
+class OutlookAttention2d(nn.Module):
+    """VOLO-style outlook attention on NHWC (reference
+    `src/model/outlook_attention.py:52-124`).
+
+    A 1x1 projection produces ``heads*K^2`` logits per pixel (avg-pooled when
+    stride>1), softmaxed over the K^2 taps; values come from a 1x1 projection
+    and are aggregated with :func:`outlook_aggregate` — no unfold tensor is
+    ever materialized.
+    """
+
+    dim: int
+    num_heads: int = 6
+    kernel_size: int = 3
+    stride: int = 1
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    qkv_bias: bool = True
+    use_pallas: Optional[bool] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, capture: bool = False):
+        if self.dim % self.num_heads != 0:
+            raise ValueError("dim must be divisible by num_heads")
+        if self.kernel_size <= 0 or self.kernel_size % 2 == 0:
+            raise ValueError("kernel_size must be odd and >0 (e.g., 3,5,7)")
+        if self.stride <= 0:
+            raise ValueError("stride must be > 0")
+        B, H, W, C = x.shape
+        k, s, heads = self.kernel_size, self.stride, self.num_heads
+        kk = k * k
+
+        a = nn.Dense(heads * kk, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="attn")(x)
+        if s > 1:
+            a = nn.avg_pool(a, (s, s), strides=(s, s))
+        Hs, Ws = a.shape[1], a.shape[2]
+        a = a.reshape(B, Hs, Ws, heads, kk)
+        if capture:
+            # pre-softmax logits — what the reference's hook on the attn conv
+            # captures (`heat_map_att_outlooker.py:44-53`)
+            self.sow("intermediates", "outlook_logits", a.astype(jnp.float32))
+        a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(x.dtype)
+        a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
+
+        v = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="v")(x)
+        y = outlook_aggregate(v, a, kernel_size=k, stride=s,
+                              use_pallas=self.use_pallas)
+        y = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="proj")(y)
+        y = nn.Dropout(self.proj_drop, deterministic=deterministic)(y)
+        return y
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Standard MHSA on [B, N, C] tokens (reference
+    `src/model/grid_attention.py:33-89`). Logits/softmax in fp32."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, capture: bool = False):
+        if self.dim <= 0:
+            raise ValueError("dim must be > 0")
+        if self.num_heads <= 0:
+            raise ValueError("num_heads must be > 0")
+        if self.dim % self.num_heads != 0:
+            raise ValueError(
+                f"dim ({self.dim}) must be divisible by num_heads ({self.num_heads})"
+            )
+        if x.ndim != 3:
+            raise ValueError(f"Expected [B, N, C]. Got {tuple(x.shape)}")
+        B, N, C = x.shape
+        if C != self.dim:
+            raise ValueError(f"Expected last dim C={self.dim}. Got C={C}")
+        heads = self.num_heads
+        hd = C // heads
+        scale = hd**-0.5
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, heads, hd]
+
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(logits, axis=-1)
+        if capture:
+            # reference stashes `last_attn` pre-dropout (`grid_attention.py:77-78`)
+            self.sow("intermediates", "attn", attn)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(x.dtype), v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.reshape(B, N, C)
+        out = nn.Dense(C, use_bias=True, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out
+
+
+class GridAttention2D(nn.Module):
+    """MaxViT-style dilated grid attention wrapper, NHWC in/out (reference
+    `src/model/grid_attention.py:93-131`): grid_partition -> token MHSA over
+    the B*g^2 independent grids -> unpartition."""
+
+    dim: int
+    num_heads: int
+    grid_size: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, capture: bool = False):
+        if x.ndim != 4:
+            raise ValueError(f"Expected NHWC. Got {tuple(x.shape)}")
+        B, H, W, C = x.shape
+        if C != self.dim:
+            raise ValueError(f"Expected C=={self.dim}. Got C={C}")
+        g = self.grid_size
+        grids, meta = grid_partition(x, g)
+        Bgrp, Hg, Wg, _ = grids.shape
+        tokens = grids.reshape(Bgrp, Hg * Wg, C)
+        tokens = MultiHeadSelfAttention(
+            dim=C,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop,
+            proj_drop=self.proj_drop,
+            dtype=self.dtype,
+            name="mhsa",
+        )(tokens, deterministic=deterministic, capture=capture)
+        grids = tokens.reshape(Bgrp, Hg, Wg, C)
+        return grid_unpartition(grids, meta)
+
+
+class OutlookerBlock2d(nn.Module):
+    """Pre-LN outlooker transformer block, NHWC (reference
+    `src/model/Outlook_Block.py:26-64`): x + DP(attn(LN(x))); x + DP(mlp(LN(x)))."""
+
+    dim: int
+    num_heads: int
+    kernel_size: int = 3
+    stride: int = 1
+    mlp_ratio: float = 2.0
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    drop_path: float = 0.0
+    mlp_drop: float = 0.0
+    act: str = "gelu"
+    norm_eps: float = 1e-6
+    use_pallas: Optional[bool] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, capture: bool = False):
+        y = LayerNorm(epsilon=self.norm_eps, name="norm1")(x)
+        y = OutlookAttention2d(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            attn_drop=self.attn_drop,
+            proj_drop=self.proj_drop,
+            use_pallas=self.use_pallas,
+            dtype=self.dtype,
+            name="attn",
+        )(y, deterministic=deterministic, capture=capture)
+        x = x + DropPath(self.drop_path, name="dp1")(y, deterministic=deterministic)
+
+        y = LayerNorm(epsilon=self.norm_eps, name="norm2")(x)
+        y = ChannelMLP(dim=self.dim, mlp_ratio=self.mlp_ratio, drop=self.mlp_drop,
+                       act=self.act, dtype=self.dtype, name="mlp")(
+            y, deterministic=deterministic)
+        x = x + DropPath(self.drop_path, name="dp2")(y, deterministic=deterministic)
+        return x
+
+
+class OutGridBlock(nn.Module):
+    """The signature hybrid block (reference `src/model/Out_Grid_Block.py:35-107`):
+    Outlooker -> MBConv -> GridAttn -> MLP, all NHWC with pre-LN residuals.
+
+    First-class ablations (SURVEY.md §2.6): ``outlook_heads==0`` skips the
+    outlooker, ``num_heads==0`` skips grid attention, ``use_mbconv=False``
+    skips MBConv.
+    """
+
+    cfg: StageCfg
+    use_pallas: Optional[bool] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, deterministic: bool = True,
+                 capture: bool = False):
+        cfg = self.cfg
+        C = cfg.dim
+
+        if cfg.outlook_heads > 0:
+            x = OutlookerBlock2d(
+                dim=C,
+                num_heads=cfg.outlook_heads,
+                kernel_size=cfg.outlook_kernel,
+                stride=1,
+                mlp_ratio=cfg.outlook_mlp_ratio,
+                attn_drop=cfg.attn_drop,
+                proj_drop=cfg.proj_drop,
+                mlp_drop=cfg.ffn_drop,
+                drop_path=cfg.drop_path,
+                act=cfg.mlp_act,
+                use_pallas=self.use_pallas,
+                dtype=self.dtype,
+                name="outlook",
+            )(x, deterministic=deterministic, capture=capture)
+
+        if cfg.use_mbconv:
+            x = MBConv(
+                in_ch=C,
+                out_ch=C,
+                stride=1,
+                cfg=MBConvConfig(
+                    expand_ratio=cfg.mbconv_expand_ratio,
+                    se_ratio=cfg.mbconv_se_ratio,
+                    act=cfg.mbconv_act,
+                    use_bn=cfg.use_bn,
+                    drop_path=0.0,
+                ),
+                dtype=self.dtype,
+                name="mbconv",
+            )(x, train=train, deterministic=deterministic)
+
+        if cfg.num_heads > 0:
+            # grid-attn + MLP sub-block norms use torch nn.LayerNorm default
+            # eps 1e-5 (`Out_Grid_Block.py:69,84`)
+            y = LayerNorm(epsilon=1e-5, name="norm2")(x)
+            y = GridAttention2D(
+                dim=C,
+                num_heads=cfg.num_heads,
+                grid_size=cfg.grid_size,
+                qkv_bias=True,
+                attn_drop=cfg.attn_drop,
+                proj_drop=cfg.proj_drop,
+                dtype=self.dtype,
+                name="grid_attn",
+            )(y, deterministic=deterministic, capture=capture)
+            x = x + DropPath(cfg.drop_path, name="dp2")(y, deterministic=deterministic)
+
+        y = LayerNorm(epsilon=1e-5, name="norm3")(x)
+        y = ChannelMLP(dim=C, mlp_ratio=cfg.mlp_ratio, drop=cfg.ffn_drop,
+                       act=cfg.mlp_act, dtype=self.dtype, name="mlp")(
+            y, deterministic=deterministic)
+        x = x + DropPath(cfg.drop_path, name="dp3")(y, deterministic=deterministic)
+        return x
+
+
+class GridOnlyBlock(nn.Module):
+    """Model-B unit (reference `src/model/Grid_Only_Block.py:21-73`):
+    MBConv -> GridAttn -> MLP (no outlooker)."""
+
+    cfg: StageCfg
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, deterministic: bool = True,
+                 capture: bool = False):
+        cfg = self.cfg
+        C = cfg.dim
+
+        if cfg.use_mbconv:
+            x = MBConv(
+                in_ch=C,
+                out_ch=C,
+                stride=1,
+                cfg=MBConvConfig(
+                    expand_ratio=cfg.mbconv_expand_ratio,
+                    se_ratio=cfg.mbconv_se_ratio,
+                    act=cfg.mbconv_act,
+                    use_bn=cfg.use_bn,
+                    drop_path=0.0,
+                ),
+                dtype=self.dtype,
+                name="mbconv",
+            )(x, train=train, deterministic=deterministic)
+
+        if cfg.num_heads > 0:
+            y = LayerNorm(epsilon=1e-5, name="norm2")(x)
+            y = GridAttention2D(
+                dim=C,
+                num_heads=cfg.num_heads,
+                grid_size=cfg.grid_size,
+                qkv_bias=True,
+                attn_drop=cfg.attn_drop,
+                proj_drop=cfg.proj_drop,
+                dtype=self.dtype,
+                name="grid_attn",
+            )(y, deterministic=deterministic, capture=capture)
+            x = x + DropPath(cfg.drop_path, name="dp2")(y, deterministic=deterministic)
+
+        y = LayerNorm(epsilon=1e-5, name="norm3")(x)
+        y = ChannelMLP(dim=C, mlp_ratio=cfg.mlp_ratio, drop=cfg.ffn_drop,
+                       act=cfg.mlp_act, dtype=self.dtype, name="mlp")(
+            y, deterministic=deterministic)
+        x = x + DropPath(cfg.drop_path, name="dp3")(y, deterministic=deterministic)
+        return x

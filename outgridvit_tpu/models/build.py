@@ -1,0 +1,52 @@
+"""Model construction from a YAML-style config dict.
+
+Accepts the exact reference YAML schema (`scripts/train.py:33-60`), including
+the model.type aliases.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional
+
+import jax.numpy as jnp
+
+from outgridvit_tpu.models.model_a import MaxOutNet
+from outgridvit_tpu.models.model_b import OutlookerFrontGridNet
+from outgridvit_tpu.stage_config import DownsampleConfig, build_stages
+
+_MODEL_A_ALIASES = ("a", "model_a", "maxout", "outgrid")
+_MODEL_B_ALIASES = ("b", "model_b", "outlooker_front", "front")
+
+
+def build_model(
+    model_cfg: Mapping[str, Any],
+    dtype: jnp.dtype = jnp.float32,
+    use_pallas: Optional[bool] = None,
+):
+    """Build a model module from a config dict. Returns the Flax module."""
+    model_type = str(model_cfg.get("type", "model_a")).lower()
+    stages = tuple(build_stages(model_cfg.get("stages", [])))
+    down_cfg = DownsampleConfig.from_dict(model_cfg.get("downsample", {}) or {})
+
+    common = dict(
+        num_classes=int(model_cfg.get("num_classes", 100)),
+        stages=stages,
+        in_ch=int(model_cfg.get("in_ch", 3)),
+        stem_dim=int(model_cfg.get("stem_dim", 64)),
+        dpr_max=float(model_cfg.get("dpr_max", 0.1)),
+        down_cfg=down_cfg,
+        dtype=dtype,
+        use_pallas=use_pallas,
+    )
+
+    if model_type in _MODEL_A_ALIASES:
+        return MaxOutNet(**common)
+    if model_type in _MODEL_B_ALIASES:
+        return OutlookerFrontGridNet(
+            outlooker_front_depth=int(model_cfg.get("outlooker_front_depth", 2)),
+            **common,
+        )
+    raise ValueError(
+        f"Unknown model.type '{model_type}'. Use 'model_a' (MaxOutNet) or "
+        f"'model_b' (OutlookerFrontGridNet)"
+    )

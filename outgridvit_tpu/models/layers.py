@@ -1,0 +1,245 @@
+"""Shared NHWC layers: stem, MBConv, SE, downsample, MLPs, DropPath.
+
+TPU-first notes:
+- Everything is NHWC; there are no layout permutes anywhere in the model
+  (the reference round-trips NCHW<->BHWC three times per block,
+  `src/model/Out_Grid_Block.py:96,107`).
+- 1x1 convs are ``nn.Dense`` over the channel axis — identical math, and XLA
+  fuses them into neighboring elementwise ops more readily.
+- Norms run in fp32 (``dtype=float32``) while matmuls/convs run in the compute
+  dtype (bf16 by default in training) — params are always fp32.
+
+Behavioral parity targets are cited per-layer against the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from outgridvit_tpu.ops.activations import make_activation
+from outgridvit_tpu.ops.drop_path import drop_path as _drop_path_fn
+from outgridvit_tpu.stage_config import DownsampleConfig, MBConvConfig
+
+Dtype = jnp.dtype
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (reference `src/model/Outlook_Block.py:7-22`)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        rng = self.make_rng("droppath")
+        return _drop_path_fn(x, self.rate, rng, deterministic=False)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch-compatible defaults (eps 1e-5, momentum 0.1 torch
+    == 0.9 flax). Stats/affine in fp32; output cast back to input dtype.
+
+    Under jit with a batch-sharded input, the batch statistics are global-batch
+    statistics automatically (GSPMD inserts the cross-device reductions), which
+    is the TPU-native replacement for SyncBatchNorm.
+    """
+
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        y = nn.BatchNorm(
+            use_running_average=ura,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return y.astype(x.dtype)
+
+
+class LayerNorm(nn.Module):
+    """Channel LayerNorm over the last axis, fp32 internals.
+
+    Replaces the reference's permute->LN->permute ``LayerNorm2d``
+    (`src/model/outlook_attention.py:17-31`) — NHWC makes it a plain LN.
+    """
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(
+            epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32,
+            name="ln",
+        )(x)
+        return y.astype(x.dtype)
+
+
+class ChannelMLP(nn.Module):
+    """MLP over the channel axis of any [..., C] tensor.
+
+    Unifies the reference's ``MLP2d`` (1x1 convs, `outlook_attention.py:33-49`)
+    and ``MLP`` (linears, `Out_Grid_Block.py:10-32`) — on NHWC they are the
+    same operator.
+    """
+
+    dim: int
+    mlp_ratio: float = 4.0
+    drop: float = 0.0
+    act: str = "gelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        hidden = max(1, int(self.dim * self.mlp_ratio))
+        act = make_activation(self.act)
+        x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
+        x = act(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class SqueezeExcite(nn.Module):
+    """Squeeze-and-excitation gate (reference `src/model/mbc_conv.py:9-27`)."""
+
+    channels: int
+    se_ratio: float = 0.25
+    act: str = "silu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if not (0.0 < self.se_ratio <= 1.0):
+            raise ValueError("se_ratio must be in (0, 1].")
+        hidden = max(1, int(self.channels * self.se_ratio))
+        act = make_activation(self.act)
+        s = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)
+        s = nn.Dense(hidden, dtype=self.dtype, name="fc1")(s)
+        s = act(s)
+        s = nn.Dense(self.channels, dtype=self.dtype, name="fc2")(s)
+        return x * nn.sigmoid(s.astype(jnp.float32)).astype(x.dtype)
+
+
+class MBConv(nn.Module):
+    """Inverted residual block, NHWC (reference `src/model/mbc_conv.py:44-98`):
+    expand 1x1 (skipped if mid==in) -> depthwise 3x3 -> SE -> project 1x1,
+    residual iff stride==1 and in==out.
+    """
+
+    in_ch: int
+    out_ch: int
+    stride: int = 1
+    cfg: MBConvConfig = MBConvConfig()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, deterministic: bool = True):
+        if self.in_ch <= 0 or self.out_ch <= 0:
+            raise ValueError("in_ch and out_ch must be > 0")
+        if self.stride not in (1, 2):
+            raise ValueError("stride must be 1 or 2")
+        cfg = self.cfg
+        act = make_activation(cfg.act)
+        use_bn = cfg.use_bn
+        mid = max(1, int(round(self.in_ch * cfg.expand_ratio)))
+
+        out = x
+        if mid != self.in_ch:
+            out = nn.Dense(mid, use_bias=not use_bn, dtype=self.dtype,
+                           name="expand")(out)
+            if use_bn:
+                out = BatchNorm(name="expand_bn")(out, use_running_average=not train)
+            out = act(out)
+
+        out = nn.Conv(
+            mid,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)),
+            feature_group_count=mid,
+            use_bias=not use_bn,
+            dtype=self.dtype,
+            name="depthwise",
+        )(out)
+        if use_bn:
+            out = BatchNorm(name="depthwise_bn")(out, use_running_average=not train)
+        out = act(out)
+
+        if cfg.se_ratio > 0:
+            out = SqueezeExcite(mid, cfg.se_ratio, cfg.act, dtype=self.dtype,
+                                name="se")(out)
+
+        out = nn.Dense(self.out_ch, use_bias=not use_bn, dtype=self.dtype,
+                       name="project")(out)
+        if use_bn:
+            out = BatchNorm(name="project_bn")(out, use_running_average=not train)
+
+        if self.stride == 1 and self.in_ch == self.out_ch:
+            out = x + DropPath(cfg.drop_path, name="drop_path")(
+                out, deterministic=deterministic
+            )
+        return out
+
+
+class Downsample(nn.Module):
+    """Between-stage downsampling (reference `src/model/downsampling.py:28-65`):
+    "conv" = 3x3 stride-2 conv + BN + act; "pool" = avgpool 2x2 + 1x1 + BN + act.
+    """
+
+    in_ch: int
+    out_ch: int
+    cfg: DownsampleConfig = DownsampleConfig()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        act = make_activation(cfg.act)
+        use_bn = cfg.use_bn
+        if cfg.kind == "conv":
+            x = nn.Conv(
+                self.out_ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                use_bias=not use_bn, dtype=self.dtype, name="conv",
+            )(x)
+        elif cfg.kind == "pool":
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            x = nn.Dense(self.out_ch, use_bias=not use_bn, dtype=self.dtype,
+                         name="conv")(x)
+        else:
+            raise ValueError("cfg.kind must be 'conv' or 'pool'")
+        if use_bn:
+            x = BatchNorm(name="bn")(x, use_running_average=not train)
+        return act(x)
+
+
+class ConvStem(nn.Module):
+    """3x3 stride-1 CIFAR-style stem (reference `src/model/stem_head.py:23-32`)."""
+
+    out_ch: int
+    act: str = "silu"
+    use_bn: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = make_activation(self.act)
+        x = nn.Conv(
+            self.out_ch, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+            use_bias=not self.use_bn, dtype=self.dtype, name="conv",
+        )(x)
+        if self.use_bn:
+            x = BatchNorm(name="bn")(x, use_running_average=not train)
+        return act(x)

@@ -1,0 +1,27 @@
+"""Activation registry.
+
+Mirrors the reference's activation surface (`src/model/outlook_attention.py:6-14`:
+silu | relu | gelu). GELU is the *exact* (erf) variant because torch ``nn.GELU()``
+defaults to exact; flax's default is the tanh approximation, which would break
+<=1e-4 logits parity.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def make_activation(act: str):
+    act = act.lower()
+    if act == "silu":
+        return nn.silu
+    if act == "relu":
+        return nn.relu
+    if act == "gelu":
+        return lambda x: nn.gelu(x, approximate=False)
+    raise ValueError(f"Unknown activation '{act}'. Use one of: silu|gelu|relu")
+
+
+def sigmoid(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.sigmoid(x)

@@ -1,0 +1,25 @@
+"""Stochastic depth (DropPath) as a pure function.
+
+Equivalent semantics to the reference module (`src/model/Outlook_Block.py:7-22`):
+per-sample Bernoulli keep mask, scaled by 1/keep_prob. Functional + keyed so it
+lives inside the jitted train step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def drop_path(
+    x: jnp.ndarray,
+    rate: float,
+    rng: jax.Array | None,
+    deterministic: bool,
+) -> jnp.ndarray:
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, p=keep, shape=shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)

@@ -1,0 +1,20 @@
+"""Accuracy metrics (reference `src/training/metrics.py:8-24`): top-k with
+soft targets accepted via argmax."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def accuracy_topk(logits: jnp.ndarray, targets: jnp.ndarray, ks=(1, 3, 5)):
+    """Returns {k: percent correct in top-k} as traced fp32 scalars."""
+    if targets.ndim == 2:
+        targets = targets.argmax(axis=-1)
+    max_k = max(ks)
+    _, pred = jax.lax.top_k(logits, max_k)  # [B, max_k]
+    correct = pred == targets[:, None].astype(pred.dtype)
+    out = {}
+    for k in ks:
+        out[k] = 100.0 * correct[:, :k].any(axis=-1).astype(jnp.float32).mean()
+    return out

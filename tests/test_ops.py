@@ -1,0 +1,89 @@
+"""Numeric unit tests for the core ops (mirrors the reference's test tier,
+`tests/test_blocks.py:32-45`, plus unfold-equivalence checks the reference
+never needed because it used F.unfold directly)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from outgridvit_tpu.ops.grid import grid_partition, grid_unpartition
+from outgridvit_tpu.ops.outlook import outlook_aggregate_xla
+
+
+def test_grid_partition_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 6))
+    grids, meta = grid_partition(x, 4)
+    assert grids.shape == (2 * 16, 2, 2, 6)
+    y = grid_unpartition(grids, meta)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=0)
+
+
+def test_grid_partition_interleaving():
+    # group (gy, gx) must hold pixels (i*g+gy, j*g+gx) — the MaxViT dilated
+    # grid semantics (reference `src/model/grid_partition.py:13-17`).
+    B, H, W, C, g = 1, 4, 4, 1, 2
+    x = jnp.arange(H * W, dtype=jnp.float32).reshape(B, H, W, C)
+    grids, _ = grid_partition(x, g)
+    # group index gy*g+gx = 1 -> (gy, gx) = (0, 1): pixels (2i, 2j+1)
+    got = np.asarray(grids[1, :, :, 0])
+    want = np.asarray(x[0, 0::g, 1::g, 0])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_grid_partition_validates():
+    x = jnp.zeros((1, 6, 6, 3))
+    with pytest.raises(ValueError):
+        grid_partition(x, 4)
+    with pytest.raises(ValueError):
+        grid_partition(x, 0)
+    with pytest.raises(ValueError):
+        grid_partition(jnp.zeros((6, 6, 3)), 2)
+
+
+def _unfold_reference(v, k, stride):
+    """Numpy re-implementation of F.unfold(k, pad=k//2, stride) gather
+    semantics for verification."""
+    B, H, W, C = v.shape
+    p = k // 2
+    vp = np.pad(v, ((0, 0), (p, p), (p, p), (0, 0)))
+    Hs = (H + 2 * p - k) // stride + 1
+    Ws = (W + 2 * p - k) // stride + 1
+    out = np.zeros((B, Hs, Ws, k * k, C), dtype=v.dtype)
+    for i in range(Hs):
+        for j in range(Ws):
+            patch = vp[:, i * stride : i * stride + k, j * stride : j * stride + k, :]
+            out[:, i, j] = patch.reshape(B, k * k, C)
+    return out
+
+
+@pytest.mark.parametrize("k,stride,heads", [(3, 1, 2), (5, 1, 1), (3, 2, 2)])
+def test_outlook_aggregate_matches_unfold(k, stride, heads):
+    rng = np.random.default_rng(0)
+    B, H, W, C = 2, 8, 8, 8
+    hd = C // heads
+    v = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    p = k // 2
+    Hs = (H + 2 * p - k) // stride + 1
+    Ws = (W + 2 * p - k) // stride + 1
+    a = rng.random((B, Hs, Ws, heads, k * k)).astype(np.float32)
+    a = a / a.sum(-1, keepdims=True)
+
+    got = np.asarray(outlook_aggregate_xla(jnp.asarray(v), jnp.asarray(a),
+                                           kernel_size=k, stride=stride))
+
+    v_unf = _unfold_reference(v, k, stride)  # [B,Hs,Ws,kk,C]
+    v_unf = v_unf.reshape(B, Hs, Ws, k * k, heads, hd)
+    want = np.einsum("bijkhd,bijhk->bijhd", v_unf, a).reshape(B, Hs, Ws, C)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_outlook_aggregate_validates():
+    v = jnp.zeros((1, 4, 4, 4))
+    a = jnp.zeros((1, 4, 4, 2, 9))
+    with pytest.raises(ValueError):
+        outlook_aggregate_xla(v, a, kernel_size=2)
+    with pytest.raises(ValueError):
+        outlook_aggregate_xla(v, a, kernel_size=3, stride=0)
+    with pytest.raises(ValueError):
+        outlook_aggregate_xla(v, jnp.zeros((1, 4, 4, 3, 9)), kernel_size=3)

@@ -1,0 +1,134 @@
+"""Cross-framework parity: our NHWC/JAX models must reproduce the PyTorch
+reference's logits to <=1e-4 given ported weights and identical inputs
+(BASELINE.md north-star requirement).
+
+Skipped automatically when torch or the read-only reference checkout is
+unavailable. The reference is imported (never copied) purely as a test oracle.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+
+torch = pytest.importorskip("torch")
+if not (REFERENCE / "src").exists():  # pragma: no cover
+    pytest.skip("reference checkout not available", allow_module_level=True)
+
+if str(REFERENCE) not in sys.path:
+    sys.path.insert(0, str(REFERENCE))
+
+import jax
+import jax.numpy as jnp
+
+from outgridvit_tpu.models import MaxOutNet, OutlookerFrontGridNet
+from outgridvit_tpu.stage_config import StageCfg
+from outgridvit_tpu.utils.port_torch import port_torch_state_dict
+
+
+def _ref_stage_cfgs(stages):
+    from src.stage_config import StageCfg as RefStageCfg
+
+    return [
+        RefStageCfg(
+            dim=s.dim, depth=s.depth, num_heads=s.num_heads,
+            grid_size=s.grid_size, window_size=s.window_size,
+            outlook_heads=s.outlook_heads, outlook_kernel=s.outlook_kernel,
+            outlook_mlp_ratio=s.outlook_mlp_ratio,
+            mbconv_expand_ratio=s.mbconv_expand_ratio,
+            mbconv_se_ratio=s.mbconv_se_ratio, mbconv_act=s.mbconv_act,
+            use_bn=s.use_bn, attn_drop=s.attn_drop, proj_drop=s.proj_drop,
+            ffn_drop=s.ffn_drop, drop_path=s.drop_path,
+            mlp_ratio=s.mlp_ratio, mlp_act=s.mlp_act,
+        )
+        for s in stages
+    ]
+
+
+STAGES = (
+    StageCfg(dim=16, depth=1, num_heads=2, grid_size=4, outlook_heads=2,
+             outlook_kernel=3),
+    StageCfg(dim=24, depth=2, num_heads=3, grid_size=2, outlook_heads=3,
+             outlook_kernel=3),
+)
+
+
+def _compare(torch_model, flax_model, img_hw=16, atol=1e-4):
+    torch_model.eval()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, img_hw, img_hw, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    variables = flax_model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = port_torch_state_dict(torch_model.state_dict(), variables)
+    got = np.asarray(flax_model.apply(variables, jnp.asarray(x)))
+
+    np.testing.assert_allclose(got, ref, atol=atol, rtol=0)
+
+
+def test_model_a_logits_parity():
+    from src.Model_A_OutGridNet import MaxOutNet as RefMaxOutNet
+
+    torch.manual_seed(0)
+    ref = RefMaxOutNet(num_classes=10, stages=_ref_stage_cfgs(STAGES),
+                       in_ch=3, stem_dim=16, dpr_max=0.1)
+    ours = MaxOutNet(num_classes=10, stages=STAGES, in_ch=3, stem_dim=16,
+                     dpr_max=0.1, use_pallas=False)
+    _compare(ref, ours)
+
+
+def test_model_b_logits_parity():
+    from src.Model_B_OutGridNet import OutlookerFrontGridNet as RefModelB
+
+    torch.manual_seed(0)
+    ref = RefModelB(num_classes=10, stages=_ref_stage_cfgs(STAGES),
+                    in_ch=3, stem_dim=16, outlooker_front_depth=2, dpr_max=0.1)
+    ours = OutlookerFrontGridNet(
+        num_classes=10, stages=STAGES, in_ch=3, stem_dim=16,
+        outlooker_front_depth=2, dpr_max=0.1, use_pallas=False)
+    _compare(ref, ours)
+
+
+def test_outlook_attention_parity():
+    from src.model.outlook_attention import OutlookAttention2d as RefOutlook
+
+    from outgridvit_tpu.models.blocks import OutlookAttention2d
+
+    torch.manual_seed(0)
+    ref = RefOutlook(dim=24, num_heads=3, kernel_size=3, stride=1)
+    ref.eval()
+    ours = OutlookAttention2d(dim=24, num_heads=3, kernel_size=3, stride=1,
+                              use_pallas=False)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 8, 8, 24)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = port_torch_state_dict(ref.state_dict(), variables)
+    got = np.asarray(ours.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=1e-5, rtol=0)
+
+
+def test_outlook_attention_stride2_parity():
+    from src.model.outlook_attention import OutlookAttention2d as RefOutlook
+
+    from outgridvit_tpu.models.blocks import OutlookAttention2d
+
+    torch.manual_seed(0)
+    ref = RefOutlook(dim=16, num_heads=2, kernel_size=3, stride=2)
+    ref.eval()
+    ours = OutlookAttention2d(dim=16, num_heads=2, kernel_size=3, stride=2,
+                              use_pallas=False)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 8, 8, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = port_torch_state_dict(ref.state_dict(), variables)
+    got = np.asarray(ours.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=1e-5, rtol=0)
