@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark: Model A-7M CIFAR-100 32px TRAIN throughput on one chip.
+
+Runs the full jitted train step (mixup/cutmix + fwd + bwd + AdamW + metrics,
+state donated) on the flagship config at bf16, batch cycled from device-
+resident buffers (the real input pipeline overlaps host augmentation with
+device compute, so device step throughput is the per-chip ceiling and the
+honest comparison point).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "imgs/s", "vs_baseline": N / 1131.8}
+
+Baseline 1131.8 imgs/s is the reference's published eval throughput on its
+CUDA GPU (BASELINE.md; its train throughput was ~456-467 imgs/s). North star
+is >=5x the 1131.8 figure.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+BASELINE_IMGS_PER_SEC = 1131.8
+
+
+def main() -> int:
+    import yaml
+    import jax
+    import jax.numpy as jnp
+
+    from outgridvit_tpu.models import build_model
+    from outgridvit_tpu.parallel import make_mesh, shard_train_state
+    from outgridvit_tpu.training.optim import make_optimizer, warmup_cosine_lr
+    from outgridvit_tpu.training.steps import StepConfig, make_train_step
+    from outgridvit_tpu.training.train_state import TrainState
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "1024"))
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "10"))
+
+    cfg = yaml.safe_load((ROOT / "configs" / "cifar100_model_a_7m.yaml").read_text())
+    model = build_model(cfg["model"], dtype=jnp.bfloat16)
+    tcfg = cfg["training"]
+
+    mesh = make_mesh()
+    n_chips = len(jax.devices())
+
+    schedule = warmup_cosine_lr(float(tcfg["lr"]), 10_000, 500,
+                                float(tcfg["min_lr"]))
+    tx = make_optimizer(schedule, float(tcfg["weight_decay"]),
+                        tcfg.get("grad_clip_norm", 1.0))
+
+    rng = jax.random.PRNGKey(0)
+    x_host = jax.random.normal(rng, (batch_size, 32, 32, 3), dtype=jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), x_host[:2])
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+    state = shard_train_state(state, mesh)
+
+    train_step = make_train_step(
+        StepConfig(
+            num_classes=int(cfg["model"]["num_classes"]),
+            label_smoothing=float(tcfg.get("label_smoothing", 0.1)),
+            mixup_alpha=float(tcfg.get("mixup_alpha", 0.8)),
+            cutmix_alpha=float(tcfg.get("cutmix_alpha", 1.0)),
+            mix_prob=float(tcfg.get("mix_prob", 0.5)),
+            grad_clip_norm=tcfg.get("grad_clip_norm", 1.0),
+        ),
+        lr_schedule=schedule,
+    )
+
+    # a few device-resident batches to cycle through
+    from outgridvit_tpu.parallel import batch_sharding
+
+    bshard = batch_sharding(mesh)
+    batches = []
+    for i in range(4):
+        xb = jax.device_put(
+            jax.random.normal(jax.random.fold_in(rng, i),
+                              (batch_size, 32, 32, 3), dtype=jnp.float32),
+            bshard,
+        )
+        yb = jax.device_put(
+            jax.random.randint(jax.random.fold_in(rng, 100 + i),
+                               (batch_size,), 0, 100),
+            bshard,
+        )
+        batches.append((xb, yb))
+
+    base = jax.random.PRNGKey(2)
+    for i in range(warmup):
+        state, m = train_step(state, batches[i % 4], base)
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = train_step(state, batches[i % 4], base)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch_size * steps / dt
+    per_chip = imgs_per_sec / max(1, n_chips)
+    print(
+        json.dumps(
+            {
+                "metric": "modelA7M_cifar100_32px_train_imgs_per_sec_per_chip",
+                "value": round(per_chip, 1),
+                "unit": "imgs/s",
+                "vs_baseline": round(per_chip / BASELINE_IMGS_PER_SEC, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

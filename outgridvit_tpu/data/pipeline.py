@@ -1,0 +1,182 @@
+"""Host-side input pipeline: a deterministic, threaded array loader + a
+device prefetcher.
+
+TPU-first replacement for the reference's torch DataLoader
+(`load_cifrar100.py:121-137`): same contract (len(), per-epoch iteration,
+``set_epoch`` for shuffling — the duck-typed hook the reference trainer calls,
+`train_full_model.py:152-156`), but yields numpy NHWC batches and overlaps
+augmentation with device compute via a thread pool + lookahead queue, and the
+``Prefetcher`` keeps the next batch already transferred to device HBM while
+the current step runs (host->device never sits on the step's critical path).
+
+Determinism: batch order is a seeded permutation of (seed, epoch); each
+image's augmentations use an rng derived from (seed, epoch, global index) —
+stronger reproducibility than the reference's per-worker reseeding.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class ArrayDataLoader:
+    """Batches an in-memory (or lazily-indexed) dataset with optional
+    per-image transform.
+
+    Args:
+      images: array-like [N, H, W, C] uint8, or an object with __getitem__
+        returning a single HWC uint8 image.
+      labels: int array [N].
+      transform: callable (img_uint8_hwc, np.random.Generator) -> float32 HWC.
+      num_threads: transform worker threads (PIL/numpy release the GIL).
+    """
+
+    def __init__(
+        self,
+        images,
+        labels: np.ndarray,
+        batch_size: int,
+        shuffle: bool = False,
+        transform: Optional[Callable] = None,
+        seed: int = 0,
+        drop_last: bool = False,
+        num_threads: int = 8,
+        lookahead: int = 4,
+    ):
+        self.images = images
+        self.labels = np.asarray(labels)
+        self.n = len(self.labels)
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.transform = transform
+        self.seed = int(seed)
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self.lookahead = lookahead
+        self.epoch = 0
+        if self.n == 0:
+            raise ValueError("empty dataset")
+
+    # reference trainer duck-types sampler.set_epoch (train_full_model.py:152)
+    class _Sampler:
+        def __init__(self, outer):
+            self._outer = outer
+
+        def set_epoch(self, epoch: int):
+            self._outer.epoch = int(epoch)
+
+    @property
+    def sampler(self):
+        return ArrayDataLoader._Sampler(self)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.n // self.batch_size
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> np.ndarray:
+        if not self.shuffle:
+            return np.arange(self.n)
+        rng = np.random.default_rng((self.seed, self.epoch))
+        return rng.permutation(self.n)
+
+    def _make_batch(self, idxs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        ys = self.labels[idxs].astype(np.int32)
+        if self.transform is None:
+            xs = np.stack([np.asarray(self.images[i]) for i in idxs])
+            return xs, ys
+
+        def one(i):
+            rng = np.random.default_rng((self.seed, self.epoch, int(i)))
+            return self.transform(np.asarray(self.images[i]), rng)
+
+        if self.num_threads > 1 and len(idxs) > 1:
+            with ThreadPoolExecutor(self.num_threads) as ex:
+                xs = list(ex.map(one, idxs))
+        else:
+            xs = [one(i) for i in idxs]
+        return np.stack(xs), ys
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = self._order()
+        nb = len(self)
+        batches = [
+            order[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(nb)
+        ]
+        if self.lookahead <= 1:
+            for b in batches:
+                yield self._make_batch(b)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.lookahead)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(b))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+class Prefetcher:
+    """Wraps a batch iterator, keeping ``depth`` batches already on device
+    (sharded if a sharding is given) ahead of the consumer."""
+
+    def __init__(self, it, sharding=None, depth: int = 2):
+        import jax
+
+        self._jax = jax
+        self.it = iter(it)
+        self.sharding = sharding
+        self.depth = depth
+
+    def __iter__(self):
+        import collections
+
+        buf = collections.deque()
+
+        def put(batch):
+            x, y = batch
+            if self.sharding is not None:
+                x = self._jax.device_put(x, self.sharding)
+                y = self._jax.device_put(y, self.sharding)
+            else:
+                x = self._jax.device_put(x)
+                y = self._jax.device_put(y)
+            buf.append((x, y))
+
+        for batch in self.it:
+            put(batch)
+            if len(buf) >= self.depth:
+                yield buf.popleft()
+        while buf:
+            yield buf.popleft()

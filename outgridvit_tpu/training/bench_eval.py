@@ -1,0 +1,127 @@
+"""Benchmark evaluation: the analog of the reference's
+`evaluate_one_epoch_logs` (`src/training/eval_one_epoch_logs.py:57-217`) —
+the function behind every published throughput number.
+
+Reports the same metric dict: loss/top1/top3/top5, imgs_per_sec (whole-epoch
+wall clock), ms_per_batch (warmup-excluded, device-synced), parameter
+count/size, FLOPs (XLA cost analysis instead of fvcore/thop), and device
+memory stats instead of CUDA allocator stats.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def count_params(params) -> int:
+    return int(sum(p.size for p in jax.tree_util.tree_leaves(params)))
+
+
+def param_bytes(params) -> int:
+    return int(
+        sum(p.size * p.dtype.itemsize for p in jax.tree_util.tree_leaves(params))
+    )
+
+
+def flops_of(fn, *args) -> Optional[float]:
+    """Forward FLOPs from XLA's cost analysis (replaces fvcore/thop,
+    reference `eval_one_epoch_logs.py:34-55`). Returns None if unavailable."""
+    try:
+        lowered = jax.jit(fn).lower(*args)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+    except Exception:
+        return None
+
+
+def format_ops(n: Optional[float]) -> str:
+    if n is None or not np.isfinite(n):
+        return "n/a"
+    for unit in ("", "K", "M", "G", "T"):
+        if abs(n) < 1000.0:
+            return f"{n:.2f} {unit}FLOPs"
+        n /= 1000.0
+    return f"{n:.2f} PFLOPs"
+
+
+def evaluate_one_epoch_logs(
+    eval_step,
+    state,
+    loader,
+    data_shard=None,
+    warmup_batches: int = 2,
+    model_fn=None,
+    example_batch=None,
+    verbose: bool = True,
+):
+    """Timed eval epoch. ``eval_step`` as from ``make_eval_step``."""
+    from outgridvit_tpu.data.pipeline import Prefetcher
+
+    n_params = count_params(state.params)
+    size_mb = param_bytes(state.params) / (1024**2)
+
+    flops = None
+    if model_fn is not None and example_batch is not None:
+        flops = flops_of(model_fn, example_batch)
+
+    totals = {"loss": 0.0, "top1": 0.0, "top3": 0.0, "top5": 0.0}
+    n = 0
+    batch_times = []
+    t_epoch0 = time.perf_counter()
+    for bi, batch in enumerate(Prefetcher(iter(loader), sharding=data_shard)):
+        t0 = time.perf_counter()
+        m = eval_step(state.params, state.batch_stats, batch)
+        loss = float(m["loss"])  # blocks: device-synced timing
+        t1 = time.perf_counter()
+        b = batch[1].shape[0]
+        totals["loss"] += loss * b
+        for k in ("top1", "top3", "top5"):
+            totals[k] += float(m[k]) * b
+        n += b
+        if bi >= warmup_batches:
+            batch_times.append(t1 - t0)
+    epoch_s = time.perf_counter() - t_epoch0
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        mem_gib = float(stats.get("bytes_in_use", 0)) / (1024**3)
+        peak_gib = float(stats.get("peak_bytes_in_use", 0)) / (1024**3)
+    except Exception:
+        mem_gib = peak_gib = float("nan")
+
+    metrics = {
+        "loss": totals["loss"] / max(1, n),
+        "top1": totals["top1"] / max(1, n),
+        "top3": totals["top3"] / max(1, n),
+        "top5": totals["top5"] / max(1, n),
+        "imgs_per_sec": n / max(epoch_s, 1e-9),
+        "ms_per_batch": 1000.0 * float(np.mean(batch_times)) if batch_times else float("nan"),
+        "epoch_seconds": epoch_s,
+        "num_images": n,
+        "params": n_params,
+        "param_size_mb": size_mb,
+        "flops_fwd": flops,
+        "mem_gib": mem_gib,
+        "mem_peak_gib": peak_gib,
+    }
+    if verbose:
+        print(
+            f"[bench] params {n_params:,} ({size_mb:.2f} MB) | "
+            f"flops/fwd {format_ops(flops)}"
+        )
+        print(
+            f"[bench] loss {metrics['loss']:.4f} | top1 {metrics['top1']:.2f}% | "
+            f"top3 {metrics['top3']:.2f}% | top5 {metrics['top5']:.2f}%"
+        )
+        print(
+            f"[bench] {metrics['imgs_per_sec']:.1f} imgs/s | "
+            f"{metrics['ms_per_batch']:.2f} ms/batch | epoch {epoch_s:.2f} s | "
+            f"mem {mem_gib:.2f} GiB (peak {peak_gib:.2f})"
+        )
+    return metrics

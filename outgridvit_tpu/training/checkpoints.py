@@ -1,0 +1,82 @@
+"""Checkpoint save / load with the reference's best/last/resume semantics
+(`src/training/chekpoints.py`, `train_full_model.py:212-225,268-285`).
+
+Single-file msgpack checkpoints (flax serialization) holding the full train
+state (params, batch_stats, opt_state, step) plus scalar metadata — the
+Orbax-style directory layout is unnecessary for single-host states of this
+size, and a single file keeps the reference's "path.pt"-style CLI surface.
+"""
+
+from __future__ import annotations
+
+import json
+import struct as _struct
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+from flax import serialization
+
+_MAGIC = b"OGVT"
+
+
+def save_checkpoint(
+    path: str,
+    state,
+    epoch: int,
+    best_top1: float = float("-inf"),
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Serialize train-state arrays + metadata into one file."""
+    tree = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    payload = serialization.msgpack_serialize(
+        serialization.to_state_dict(jax.device_get(tree))
+    )
+    meta = json.dumps(
+        {"epoch": int(epoch), "best_top1": float(best_top1),
+         "extra": extra or {}}
+    ).encode("utf-8")
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with open(p, "wb") as f:
+        f.write(_MAGIC)
+        f.write(_struct.pack("<Q", len(meta)))
+        f.write(meta)
+        f.write(payload)
+
+
+def load_checkpoint(path: str, state=None) -> Dict[str, Any]:
+    """Load a checkpoint. If ``state`` is given, returns
+    {"state": restored_state, "epoch": ..., "best_top1": ..., "extra": ...};
+    otherwise returns the raw tree in place of "state"."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != _MAGIC:
+            raise ValueError(f"{path} is not an outgridvit_tpu checkpoint")
+        (meta_len,) = _struct.unpack("<Q", f.read(8))
+        meta = json.loads(f.read(meta_len).decode("utf-8"))
+        payload = f.read()
+    tree = serialization.msgpack_restore(payload)
+    out = dict(meta)
+    if state is not None:
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = serialization.from_state_dict(template, tree)
+        out["state"] = state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+    else:
+        out["state"] = tree
+    return out

@@ -1,0 +1,373 @@
+"""Epoch-level training orchestration.
+
+Same surface and semantics as the reference trainer
+(`src/training/train_full_model.py:24-307`): AdamW with no-decay groups,
+step-based warmup-cosine LR, resume, per-epoch train -> save-last -> val ->
+save-best -> early-stop, the same 17-series history dict, and the same
+printed log-line formats. TPU differences: bf16 compute replaces the fp16
+GradScaler (no scaler; overflow counting degenerates to the non-finite-step
+counter), and memory comes from TPU allocator stats instead of CUDA.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outgridvit_tpu.data.pipeline import Prefetcher
+from outgridvit_tpu.parallel.mesh import batch_sharding, make_mesh, shard_train_state
+from outgridvit_tpu.training.checkpoints import load_checkpoint, save_checkpoint
+from outgridvit_tpu.training.optim import make_optimizer, warmup_cosine_lr
+from outgridvit_tpu.training.steps import StepConfig, make_eval_step, make_train_step
+from outgridvit_tpu.training.train_state import TrainState
+
+
+def _device_mem_gib() -> float:
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return float(stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0))) / (
+            1024**3
+        )
+    except Exception:
+        return float("nan")
+
+
+def _dtype_from_cfg(autocast_dtype: str, use_amp: bool):
+    """Map the reference's autocast knob onto a TPU compute dtype: fp16/bf16
+    -> bfloat16 (TPU-native), fp32 or amp-off -> float32."""
+    if not use_amp:
+        return jnp.float32
+    return {
+        "fp16": jnp.bfloat16,
+        "float16": jnp.bfloat16,
+        "bf16": jnp.bfloat16,
+        "bfloat16": jnp.bfloat16,
+        "fp32": jnp.float32,
+        "float32": jnp.float32,
+    }.get(str(autocast_dtype).lower(), jnp.bfloat16)
+
+
+def train_model(
+    model,
+    train_loader,
+    epochs: int = 100,
+    val_loader=None,
+    device: str = "tpu",  # accepted for CLI compatibility; jax picks devices
+    lr: float = 5e-4,
+    weight_decay: float = 0.05,
+    autocast_dtype: str = "bf16",
+    use_amp: bool = True,
+    grad_clip_norm: Optional[float] = 1.0,
+    warmup_ratio: float = 0.05,
+    min_lr: float = 0.0,
+    label_smoothing: float = 0.1,
+    print_every: int = 100,
+    save_path: str = "best_model.ckpt",
+    last_path: str = "last_model.ckpt",
+    resume_path: Optional[str] = None,
+    mixup_alpha: float = 0.0,
+    cutmix_alpha: float = 0.0,
+    mix_prob: float = 1.0,
+    num_classes: int = 100,
+    channels_last: bool = False,  # NHWC-native: accepted and ignored
+    early_stop: bool = True,
+    early_stop_metric: str = "top1",
+    early_stop_patience: int = 6,
+    early_stop_min_delta: float = 0.05,
+    early_stop_require_monotonic: bool = False,
+    seed: int = 7,
+    mesh=None,
+    state: Optional[TrainState] = None,
+):
+    """Train; returns ``(history, state)`` (the reference returns
+    ``(history, model)``; the TrainState is the functional equivalent)."""
+    if mesh is None:
+        mesh = make_mesh()
+    data_shard = batch_sharding(mesh)
+
+    steps_per_epoch = len(train_loader)
+    total_steps = epochs * steps_per_epoch
+    warmup_steps = int(total_steps * warmup_ratio)
+    schedule = warmup_cosine_lr(lr, total_steps, warmup_steps, min_lr)
+    tx = make_optimizer(schedule, weight_decay, grad_clip_norm)
+
+    compute_dtype = _dtype_from_cfg(autocast_dtype, use_amp)
+    if getattr(model, "dtype", None) != compute_dtype:
+        model = model.clone(dtype=compute_dtype)
+
+    # ---- init state from the first batch's shapes
+    first = next(iter(train_loader))
+    x0, y0 = first
+    bs0 = x0.shape[0]
+    img_shape = (bs0, x0.shape[3], x0.shape[1], x0.shape[2])  # print as NCHW
+
+    if state is None:
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(seed), jnp.zeros(x0.shape, jnp.float32)
+        )
+        state = TrainState.create(
+            apply_fn=model.apply,
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            tx=tx,
+        )
+    state = shard_train_state(state, mesh)
+
+    train_step = make_train_step(
+        StepConfig(
+            num_classes=num_classes,
+            label_smoothing=label_smoothing,
+            mixup_alpha=mixup_alpha,
+            cutmix_alpha=cutmix_alpha,
+            mix_prob=mix_prob,
+            grad_clip_norm=grad_clip_norm,
+        ),
+        lr_schedule=schedule,
+    )
+    eval_step = make_eval_step(model.apply, label_smoothing=0.0)
+    base_rng = jax.random.PRNGKey(seed)
+
+    # ---- resume / best tracking (reference `train_full_model.py:73-103`)
+    start_epoch = 0
+    best_val_top1 = -float("inf")
+    best_val_loss = float("inf")
+    best_epoch = 0
+    metric = early_stop_metric.lower()
+    assert metric in ("top1", "loss")
+    mode = "max" if metric == "top1" else "min"
+    best_metric = -float("inf") if mode == "max" else float("inf")
+
+    if resume_path is not None:
+        ckpt = load_checkpoint(resume_path, state)
+        state = ckpt["state"]
+        state = shard_train_state(state, mesh)
+        start_epoch = int(ckpt.get("epoch", 0))
+        best_val_top1 = float(ckpt.get("best_top1", best_val_top1))
+        extra = ckpt.get("extra", {}) or {}
+        best_val_loss = float(extra.get("best_val_loss", best_val_loss))
+        best_epoch = int(extra.get("best_epoch", best_epoch))
+        best_metric = float(extra.get("best_metric", best_metric))
+        print(
+            f"Resumed from {resume_path} at epoch {start_epoch} | "
+            f"best_top1 {best_val_top1:.2f}% | best_loss {best_val_loss:.4f} | "
+            f"best_{metric} {best_metric:.6f}"
+        )
+
+    history = {
+        "train_loss": [], "train_top1": [], "train_top3": [], "train_top5": [],
+        "val_loss": [], "val_top1": [], "val_top3": [], "val_top5": [],
+        "lr": [],
+        "train_grad_norm": [], "train_clip_frac": [], "train_amp_overflows": [],
+        "train_nonfinite_loss_steps": [], "train_scaler_scale": [],
+        "train_mem_alloc_gib": [], "train_mem_res_gib": [],
+        "val_mem_alloc_gib": [], "val_mem_res_gib": [],
+    }
+
+    patience = int(early_stop_patience)
+    bad_epochs = 0
+    last_vals = []
+
+    def _is_improvement(curr, best):
+        d = float(early_stop_min_delta)
+        return (curr > best + d) if mode == "max" else (curr < best - d)
+
+    def _degradation_monotonic(vals):
+        if not early_stop_require_monotonic or len(vals) < 2:
+            return True
+        if mode == "max":
+            return all(vals[i] >= vals[i + 1] for i in range(len(vals) - 1))
+        return all(vals[i] <= vals[i + 1] for i in range(len(vals) - 1))
+
+    # ---- run-config banner (reference `train_full_model.py:136-146`)
+    print("=== Run config ===")
+    print(
+        f"device={jax.default_backend()}x{len(jax.devices())} | amp={use_amp} | "
+        f"autocast_dtype={autocast_dtype} (compute={compute_dtype.__name__}) | "
+        f"mesh={dict(mesh.shape)}"
+    )
+    print(
+        f"epochs={epochs} | steps/epoch={steps_per_epoch} | "
+        f"total_steps={total_steps} | warmup_steps={warmup_steps}"
+    )
+    print(f"batch_size={bs0} | input_shape={img_shape} | num_classes={num_classes}")
+    print(f"opt=AdamW | lr={lr} | wd={weight_decay} | grad_clip_norm={grad_clip_norm}")
+    print(
+        f"aug: mix_prob={mix_prob} | mixup_alpha={mixup_alpha} | "
+        f"cutmix_alpha={cutmix_alpha} | label_smoothing={label_smoothing}"
+    )
+    if val_loader is not None:
+        print(
+            f"early_stop={early_stop} | metric={metric} | patience={patience} | "
+            f"min_delta={early_stop_min_delta}"
+        )
+    else:
+        print("val_loader=None => no early-stop / no best saving by val metric.")
+    print("==================")
+
+    for epoch in range(start_epoch + 1, epochs + 1):
+        print(f"\n=== Epoch {epoch}/{epochs} ===")
+        t_epoch = time.time()
+        if hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(epoch)
+
+        # ---------------- train epoch
+        t0 = time.time()
+        step_metrics = []
+        total = 0
+        nsteps = len(train_loader)
+        for step, batch in enumerate(
+            Prefetcher(iter(train_loader), sharding=data_shard), start=1
+        ):
+            state, m = train_step(state, batch, base_rng)
+            step_metrics.append(m)
+            total += batch[1].shape[0]
+            if print_every and (step % print_every == 0 or step == nsteps):
+                # fetch only at print boundaries to keep dispatch async
+                mm = {
+                    k: float(np.mean([float(s[k]) for s in step_metrics]))
+                    for k in ("loss", "top1", "top3", "top5", "grad_norm")
+                }
+                oflow = int(sum(float(s["nonfinite"]) for s in step_metrics))
+                clip_pct = 100.0 * float(
+                    np.mean([float(s["clipped"]) for s in step_metrics])
+                )
+                lr_now = float(step_metrics[-1]["lr"])
+                dt = time.time() - t0
+                print(
+                    f"[train step {step}/{nsteps}] "
+                    f"loss {mm['loss']:.4f} | "
+                    f"top1 {mm['top1']:.2f}% | top3 {mm['top3']:.2f}% | "
+                    f"top5 {mm['top5']:.2f}% | "
+                    f"{total / max(dt, 1e-9):.1f} img/s | lr {lr_now:.2e} | "
+                    f"gnorm {mm['grad_norm']:.3f} | clip {clip_pct:.1f}% | "
+                    f"oflow 0 | nonfinite {oflow} | scale 1.0"
+                )
+
+        tr = {
+            k: float(np.mean([float(s[k]) for s in step_metrics]))
+            for k in ("loss", "top1", "top3", "top5", "grad_norm", "clipped")
+        }
+        nonfinite_steps = int(sum(float(s["nonfinite"]) for s in step_metrics))
+        lr_now = float(step_metrics[-1]["lr"])
+        mem_gib = _device_mem_gib()
+
+        history["train_loss"].append(tr["loss"])
+        history["train_top1"].append(tr["top1"])
+        history["train_top3"].append(tr["top3"])
+        history["train_top5"].append(tr["top5"])
+        history["lr"].append(lr_now)
+        history["train_grad_norm"].append(tr["grad_norm"])
+        history["train_clip_frac"].append(tr["clipped"])
+        history["train_amp_overflows"].append(0.0)
+        history["train_nonfinite_loss_steps"].append(float(nonfinite_steps))
+        history["train_scaler_scale"].append(1.0)
+        history["train_mem_alloc_gib"].append(mem_gib)
+        history["train_mem_res_gib"].append(mem_gib)
+
+        print(
+            f"[Train] loss {tr['loss']:.4f} | top1 {tr['top1']:.2f}% | "
+            f"top3 {tr['top3']:.2f}% | top5 {tr['top5']:.2f}% | "
+            f"lr {lr_now:.2e} | "
+            f"grad_norm {tr['grad_norm']:.3f} | clip {100 * tr['clipped']:.1f}% | "
+            f"amp_overflows 0 | nonfinite_loss {nonfinite_steps} | scale 1.0"
+        )
+        if np.isfinite(mem_gib):
+            print(f"[Train] mem_peak alloc {mem_gib:.2f} GiB | reserved {mem_gib:.2f} GiB")
+
+        # save "last" every epoch (reference `train_full_model.py:212-225`)
+        save_checkpoint(
+            last_path, state, epoch=epoch, best_top1=best_val_top1,
+            extra={
+                "autocast_dtype": autocast_dtype,
+                "use_amp": use_amp,
+                "best_val_loss": best_val_loss,
+                "best_epoch": best_epoch,
+                "best_metric": best_metric,
+                "early_stop_metric": metric,
+                "early_stop_patience": patience,
+                "early_stop_min_delta": float(early_stop_min_delta),
+            },
+        )
+
+        stop_now = False
+
+        # ---------------- validation
+        if val_loader is not None:
+            if hasattr(val_loader, "set_epoch"):
+                val_loader.set_epoch(epoch)
+            va = _run_eval(eval_step, state, val_loader, data_shard)
+            val_mem = _device_mem_gib()
+            history["val_loss"].append(va["loss"])
+            history["val_top1"].append(va["top1"])
+            history["val_top3"].append(va["top3"])
+            history["val_top5"].append(va["top5"])
+            history["val_mem_alloc_gib"].append(val_mem)
+            history["val_mem_res_gib"].append(val_mem)
+
+            print(
+                f"[Val]   loss {va['loss']:.4f} | top1 {va['top1']:.2f}% | "
+                f"top3 {va['top3']:.2f}% | top5 {va['top5']:.2f}%"
+            )
+            if np.isfinite(val_mem):
+                print(f"[Val]   mem_peak alloc {val_mem:.2f} GiB | reserved {val_mem:.2f} GiB")
+
+            if va["top1"] > best_val_top1:
+                best_val_top1 = va["top1"]
+            if va["loss"] < best_val_loss:
+                best_val_loss = va["loss"]
+            curr_metric = va["top1"] if metric == "top1" else va["loss"]
+
+            if _is_improvement(curr_metric, best_metric):
+                best_metric = curr_metric
+                best_epoch = int(epoch)
+                save_checkpoint(
+                    save_path, state, epoch=epoch, best_top1=best_val_top1,
+                    extra={
+                        "autocast_dtype": autocast_dtype,
+                        "use_amp": use_amp,
+                        "best_val_loss": best_val_loss,
+                        "best_epoch": best_epoch,
+                        "best_metric": best_metric,
+                        "best_metric_name": metric,
+                    },
+                )
+                print(f"Best saved to {save_path} (val {metric} = {best_metric:.6f})")
+                bad_epochs = 0
+            else:
+                bad_epochs += 1
+
+            if early_stop:
+                last_vals.append(curr_metric)
+                if len(last_vals) > patience:
+                    last_vals = last_vals[-patience:]
+                if bad_epochs >= patience and _degradation_monotonic(last_vals):
+                    print(
+                        f"Early-stop: no improvement on val_{metric} for "
+                        f"{patience} epochs."
+                    )
+                    stop_now = True
+
+        if stop_now:
+            break
+        dt = time.time() - t_epoch
+        print(f"Epoch time: {dt / 60:.2f} min")
+
+    return history, state
+
+
+def _run_eval(eval_step, state, loader, data_shard=None):
+    """Weighted-average eval over a loader (reference
+    `one_epoch_train.py:209-259`)."""
+    totals = {"loss": 0.0, "top1": 0.0, "top3": 0.0, "top5": 0.0}
+    n = 0
+    for batch in Prefetcher(iter(loader), sharding=data_shard):
+        m = eval_step(state.params, state.batch_stats, batch)
+        b = batch[1].shape[0]
+        for k in totals:
+            totals[k] += float(m[k]) * b
+        n += b
+    return {k: v / max(1, n) for k, v in totals.items()}

@@ -1,0 +1,121 @@
+"""Data pipeline tests: loader determinism, transform correctness."""
+
+import numpy as np
+import pytest
+
+from outgridvit_tpu.data.pipeline import ArrayDataLoader
+from outgridvit_tpu.data.transforms import (
+    EvalTransform,
+    TrainTransform,
+    normalize,
+    rand_augment,
+    random_crop,
+    random_erasing,
+    random_hflip,
+)
+
+
+def test_loader_shapes_and_determinism():
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, size=(20, 8, 8, 3), dtype=np.uint8)
+    labels = np.arange(20) % 4
+    tf = EvalTransform(8, (0.5, 0.5, 0.5), (0.25, 0.25, 0.25))
+    loader = ArrayDataLoader(images, labels, batch_size=8, shuffle=True,
+                             transform=tf, seed=3, num_threads=2)
+    assert len(loader) == 3
+    loader.set_epoch(1)
+    b1 = [b for b in loader]
+    loader.set_epoch(1)
+    b2 = [b for b in loader]
+    for (x1, y1), (x2, y2) in zip(b1, b2):
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)
+    assert b1[0][0].shape == (8, 8, 8, 3)
+    assert b1[0][0].dtype == np.float32
+
+    # different epoch -> different order
+    loader.set_epoch(2)
+    b3 = [b for b in loader]
+    assert any((y1 != y3).any() for (_, y1), (_, y3) in zip(b1, b3))
+
+
+def test_loader_drop_last():
+    images = np.zeros((10, 4, 4, 3), np.uint8)
+    labels = np.zeros(10, np.int64)
+    assert len(ArrayDataLoader(images, labels, 4, drop_last=True)) == 2
+    assert len(ArrayDataLoader(images, labels, 4, drop_last=False)) == 3
+
+
+def test_normalize_matches_torch_semantics():
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    mean, std = (0.5, 0.4, 0.3), (0.2, 0.3, 0.4)
+    x = normalize(img, mean, std)
+    want = (img.astype(np.float32) / 255.0 - np.array(mean, np.float32)) / np.array(
+        std, np.float32)
+    np.testing.assert_allclose(x, want, rtol=1e-6)
+
+
+def test_random_crop_pads_and_preserves_shape():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    out = random_crop(img, rng, padding=4)
+    assert out.shape == img.shape
+
+
+def test_random_hflip():
+    rng = np.random.default_rng(1)
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    outs = {random_hflip(img, np.random.default_rng(s)).tobytes()
+            for s in range(10)}
+    assert img.tobytes() in outs and img[:, ::-1].tobytes() in outs
+
+
+def test_rand_augment_valid_output():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    for seed in range(8):
+        out = rand_augment(img, np.random.default_rng(seed), num_ops=2,
+                           magnitude=7)
+        assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_random_erasing_applies_with_p1():
+    rng = np.random.default_rng(3)
+    img = np.zeros((16, 16, 3), np.float32)
+    out = random_erasing(img, rng, p=1.0)
+    assert (out != 0).any()
+    out2 = random_erasing(img, np.random.default_rng(4), p=0.0)
+    assert (out2 == 0).all()
+
+
+def test_train_transform_full_recipe():
+    tf = TrainTransform(img_size=32, native_size=32,
+                        mean=(0.5,) * 3, std=(0.25,) * 3,
+                        ra_num_ops=2, ra_magnitude=7, random_erasing_p=0.5)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    x = tf(img, np.random.default_rng(1))
+    assert x.shape == (32, 32, 3) and x.dtype == np.float32
+    # resize path
+    tf64 = TrainTransform(img_size=64, native_size=32,
+                          mean=(0.5,) * 3, std=(0.25,) * 3)
+    x64 = tf64(img, np.random.default_rng(1))
+    assert x64.shape == (64, 64, 3)
+
+
+def test_synthetic_loader():
+    from outgridvit_tpu.data.datasets import get_synthetic_dataloaders
+
+    tr, va, te = get_synthetic_dataloaders(batch_size=16, num_samples=64,
+                                           img_size=8, num_classes=5, seed=0)
+    assert va is None and te is None
+    x, y = next(iter(tr))
+    assert x.shape == (16, 8, 8, 3)
+    assert ((0 <= y) & (y < 5)).all()
+
+
+def test_registry_rejects_unknown():
+    from outgridvit_tpu.data import build_dataloaders
+
+    with pytest.raises(ValueError):
+        build_dataloaders({"dataset": "mnist"}, 10)

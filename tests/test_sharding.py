@@ -1,0 +1,107 @@
+"""Multi-device tests on the 8-virtual-CPU mesh (what the reference never had
+— SURVEY.md §4 'add multi-device tests')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from outgridvit_tpu.parallel import batch_sharding, make_mesh, shard_train_state
+from outgridvit_tpu.models import MaxOutNet
+from outgridvit_tpu.stage_config import StageCfg
+from outgridvit_tpu.training.optim import make_optimizer, warmup_cosine_lr
+from outgridvit_tpu.training.steps import StepConfig, make_train_step
+from outgridvit_tpu.training.train_state import TrainState
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _make_state(mesh, dtype=jnp.float32):
+    stages = (
+        StageCfg(dim=32, depth=1, num_heads=2, grid_size=4, outlook_heads=2,
+                 mlp_ratio=2.0, mbconv_expand_ratio=2.0),
+    )
+    model = MaxOutNet(num_classes=10, stages=stages, stem_dim=32,
+                      use_pallas=False, dtype=dtype)
+    x = jnp.zeros((8, 8, 8, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    tx = make_optimizer(warmup_cosine_lr(1e-3, 100, 10), 0.05, 1.0)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}), tx=tx)
+    return model, shard_train_state(state, mesh)
+
+
+def test_dp_train_step_runs_on_mesh():
+    mesh = make_mesh((8, 1))
+    model, state = _make_state(mesh)
+    step = make_train_step(
+        StepConfig(num_classes=10, mixup_alpha=0.8, cutmix_alpha=1.0,
+                   mix_prob=0.5))
+    bshard = batch_sharding(mesh)
+    x = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (16, 8, 8, 3)), bshard)
+    y = jax.device_put((jnp.arange(16) % 10).astype(jnp.int32), bshard)
+    state, m = step(state, (x, y), jax.random.PRNGKey(2))
+    assert float(m["nonfinite"]) == 0.0
+    assert float(m["loss"]) > 0.0
+    assert int(state.step) == 1
+
+
+def test_tp_shards_wide_kernels():
+    mesh = make_mesh((4, 2))
+    model, state = _make_state(mesh)
+    # fc1 kernel must actually be sharded over the model axis
+    fc1 = state.params["stages_0_0"]["mlp"]["fc1"]["kernel"]
+    spec = fc1.sharding.spec
+    assert "model" in str(spec), spec
+    # and the optimizer moments mirror it
+    # (walk opt_state for a leaf with the same shape)
+    leaves = jax.tree_util.tree_leaves_with_path(state.opt_state)
+    mirrored = [
+        l for p, l in leaves
+        if getattr(l, "shape", None) == fc1.shape
+        and "fc1" in "/".join(str(q) for q in p)
+    ]
+    assert mirrored and all("model" in str(l.sharding.spec) for l in mirrored)
+
+
+def test_dp_tp_train_step_runs():
+    mesh = make_mesh((4, 2))
+    model, state = _make_state(mesh)
+    step = make_train_step(StepConfig(num_classes=10))
+    bshard = batch_sharding(mesh)
+    x = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8, 3)), bshard)
+    y = jax.device_put((jnp.arange(8) % 10).astype(jnp.int32), bshard)
+    state, m = step(state, (x, y), jax.random.PRNGKey(2))
+    assert float(m["nonfinite"]) == 0.0
+    assert float(m["loss"]) > 0.0
+
+
+def test_dp_matches_single_device():
+    # the same batch through a 1-device and an 8-device mesh must give the
+    # same loss (GSPMD global-batch semantics, incl. BatchNorm stats)
+    step_cfg = StepConfig(num_classes=10)  # no mixing: deterministic
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 8, 8, 3))
+    y = (jnp.arange(16) % 10).astype(jnp.int32)
+
+    losses = []
+    for shape in ((1, 1), (8, 1)):
+        mesh = make_mesh(shape, devices=jax.devices()[: shape[0] * shape[1]])
+        model, state = _make_state(mesh)
+        step = make_train_step(step_cfg)
+        bshard = batch_sharding(mesh)
+        xb = jax.device_put(x, bshard)
+        yb = jax.device_put(y, bshard)
+        _, m = step(state, (xb, yb), jax.random.PRNGKey(2))
+        losses.append(float(m["loss"]))
+    assert losses[0] == pytest.approx(losses[1], rel=1e-5)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)

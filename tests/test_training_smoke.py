@@ -1,0 +1,141 @@
+"""End-to-end CPU train smoke (mirrors reference
+`tests/test_training_smoke.py:32-75`): one epoch of the real `train_model`
+path on synthetic data; history lengths == 1 and both checkpoints exist.
+Plus resume and mixing/optim unit checks."""
+
+import numpy as np
+import pytest
+
+from outgridvit_tpu.data.datasets import get_synthetic_dataloaders
+from outgridvit_tpu.models import MaxOutNet
+from outgridvit_tpu.stage_config import StageCfg
+
+
+def tiny_model(num_classes=10):
+    stages = (
+        StageCfg(dim=8, depth=1, num_heads=2, grid_size=2, outlook_heads=2,
+                 mlp_ratio=2.0, mbconv_expand_ratio=2.0),
+    )
+    return MaxOutNet(num_classes=num_classes, stages=stages, stem_dim=8,
+                     use_pallas=False)
+
+
+def test_train_one_epoch_smoke(tmp_path):
+    from outgridvit_tpu.training import train_model
+
+    train_loader, _, _ = get_synthetic_dataloaders(
+        batch_size=8, num_samples=16, img_size=8, num_classes=10, seed=0)
+    model = tiny_model()
+    best = tmp_path / "best.ckpt"
+    last = tmp_path / "last.ckpt"
+    history, state = train_model(
+        model=model,
+        train_loader=train_loader,
+        epochs=1,
+        val_loader=train_loader,
+        use_amp=False,
+        grad_clip_norm=1.0,
+        print_every=2,
+        save_path=str(best),
+        last_path=str(last),
+        mixup_alpha=0.2,
+        cutmix_alpha=1.0,
+        mix_prob=0.5,
+        num_classes=10,
+        early_stop=False,
+        seed=0,
+    )
+    for k in ("train_loss", "train_top1", "val_loss", "val_top1", "lr"):
+        assert len(history[k]) == 1, k
+    assert np.isfinite(history["train_loss"][0])
+    assert best.exists() and last.exists()
+    assert int(state.step) == len(train_loader)
+
+
+def test_resume_roundtrip(tmp_path):
+    from outgridvit_tpu.training import train_model
+
+    train_loader, _, _ = get_synthetic_dataloaders(
+        batch_size=8, num_samples=16, img_size=8, num_classes=10, seed=0)
+    model = tiny_model()
+    last = tmp_path / "last.ckpt"
+    h1, s1 = train_model(
+        model=model, train_loader=train_loader, epochs=1, val_loader=None,
+        use_amp=False, print_every=0, save_path=str(tmp_path / "b.ckpt"),
+        last_path=str(last), num_classes=10, early_stop=False, seed=0,
+    )
+    # resume from epoch 1, run through epoch 2
+    h2, s2 = train_model(
+        model=model, train_loader=train_loader, epochs=2, val_loader=None,
+        use_amp=False, print_every=0, save_path=str(tmp_path / "b.ckpt"),
+        last_path=str(last), resume_path=str(last), num_classes=10,
+        early_stop=False, seed=0,
+    )
+    assert len(h2["train_loss"]) == 1  # only epoch 2 ran
+    assert int(s2.step) == 2 * len(train_loader)
+
+
+def test_mixup_cutmix_semantics():
+    import jax
+    import jax.numpy as jnp
+
+    from outgridvit_tpu.training.mixing import apply_mixup_cutmix
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8, 3))
+    y = jnp.arange(8) % 4
+
+    # disabled -> identity + one-hot
+    x2, t = apply_mixup_cutmix(rng, x, y, 4, 0.0, 0.0, 1.0)
+    assert (x2 == x).all()
+    np.testing.assert_allclose(np.asarray(t.sum(-1)), 1.0, rtol=1e-6)
+
+    # enabled -> soft targets still sum to 1, at most two classes mixed
+    x3, t3 = apply_mixup_cutmix(rng, x, y, 4, 0.8, 1.0, 1.0)
+    np.testing.assert_allclose(np.asarray(t3.sum(-1)), 1.0, rtol=1e-5)
+    assert (np.asarray((t3 > 0).sum(-1)) <= 2).all()
+    assert np.isfinite(np.asarray(x3)).all()
+
+
+def test_warmup_cosine_schedule():
+    from outgridvit_tpu.training.optim import warmup_cosine_lr
+
+    sched = warmup_cosine_lr(1.0, total_steps=100, warmup_steps=10, min_lr=0.01)
+    # warmup: t=count+1 over warmup_steps
+    assert float(sched(0)) == pytest.approx(0.1)
+    assert float(sched(9)) == pytest.approx(1.0)
+    # end of cosine
+    assert float(sched(99)) == pytest.approx(0.01, abs=1e-6)
+    # midpoint of cosine
+    mid = float(sched(54))  # t=55, progress=0.5
+    assert mid == pytest.approx(0.01 + (1.0 - 0.01) * 0.5, rel=1e-3)
+
+
+def test_losses_match_torch_semantics():
+    import jax.numpy as jnp
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from outgridvit_tpu.training.losses import (
+        cross_entropy_smoothed,
+        soft_target_cross_entropy,
+    )
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((4, 7)).astype(np.float32)
+    labels = rng.integers(0, 7, size=(4,))
+    soft = rng.random((4, 7)).astype(np.float32)
+    soft /= soft.sum(-1, keepdims=True)
+
+    want = F.cross_entropy(torch.tensor(logits), torch.tensor(labels),
+                           label_smoothing=0.1).item()
+    got = float(cross_entropy_smoothed(jnp.asarray(logits),
+                                       jnp.asarray(labels), 0.1))
+    assert got == pytest.approx(want, rel=1e-5)
+
+    logp = F.log_softmax(torch.tensor(logits), dim=1)
+    want2 = -(torch.tensor(soft) * logp).sum(1).mean().item()
+    got2 = float(soft_target_cross_entropy(jnp.asarray(logits),
+                                           jnp.asarray(soft)))
+    assert got2 == pytest.approx(want2, rel=1e-5)
