@@ -96,15 +96,24 @@ def main() -> int:
         )
         batches.append((xb, yb))
 
+    import numpy as np
+
+    def hard_sync(state, m):
+        # On the tunneled axon platform block_until_ready does not reliably
+        # drain the chained queue; an actual device->host fetch of values
+        # that depend on the whole step chain does.
+        float(m["loss"])
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]).ravel()[0]
+
     base = jax.random.PRNGKey(2)
     for i in range(warmup):
         state, m = train_step(state, batches[i % 4], base)
-    jax.block_until_ready(m["loss"])
+    hard_sync(state, m)
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, m = train_step(state, batches[i % 4], base)
-    jax.block_until_ready(m["loss"])
+    hard_sync(state, m)
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch_size * steps / dt
