@@ -71,7 +71,8 @@ class OutlookerFrontGridNet(nn.Module):
             for bi in range(scfg.depth):
                 bcfg = scfg.replace(drop_path=dprs[idx])
                 x = GridOnlyBlock(
-                    cfg=bcfg, dtype=self.dtype, name=f"stages_{si}_{bi}",
+                    cfg=bcfg, use_pallas=self.use_pallas, dtype=self.dtype,
+                    name=f"stages_{si}_{bi}",
                 )(x, train=train, deterministic=deterministic, capture=capture)
                 idx += 1
             if si < len(self.stages) - 1:
