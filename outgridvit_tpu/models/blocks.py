@@ -58,21 +58,34 @@ class OutlookAttention2d(nn.Module):
 
         a = nn.Dense(heads * kk, use_bias=self.qkv_bias, dtype=self.dtype,
                      name="attn")(x)
-        if s > 1:
-            a = nn.avg_pool(a, (s, s), strides=(s, s))
-        Hs, Ws = a.shape[1], a.shape[2]
-        a = a.reshape(B, Hs, Ws, heads, kk)
-        if capture:
-            # pre-softmax logits — what the reference's hook on the attn conv
-            # captures (`heat_map_att_outlooker.py:44-53`)
-            self.sow("intermediates", "outlook_logits", a.astype(jnp.float32))
-        a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(x.dtype)
-        a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
-
         v = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
                      name="v")(x)
-        y = outlook_aggregate(v, a, kernel_size=k, stride=s,
-                              use_pallas=self.use_pallas)
+
+        # A fused Pallas outlook kernel exists
+        # (outgridvit_tpu/ops/outlook_pallas.py) but measured SLOWER than
+        # this XLA shift-and-accumulate path on v5e: Mosaic's rotate op only
+        # supports 32-bit data, forcing fp32 shifts, and per-tap lane padding
+        # wastes VMEM. Kept off by default until Mosaic grows bf16 rotates;
+        # enable explicitly with use_pallas="fused_outlook".
+        if self.use_pallas == "fused_outlook" and s == 1 and not capture and \
+                not (self.attn_drop > 0.0 and not deterministic):
+            from outgridvit_tpu.ops.outlook_pallas import outlook_attention_pallas
+
+            y = outlook_attention_pallas(v, a, heads, k)
+        else:
+            if s > 1:
+                a = nn.avg_pool(a, (s, s), strides=(s, s))
+            Hs, Ws = a.shape[1], a.shape[2]
+            a = a.reshape(B, Hs, Ws, heads, kk)
+            if capture:
+                # pre-softmax logits — what the reference's hook on the attn
+                # conv captures (`heat_map_att_outlooker.py:44-53`)
+                self.sow("intermediates", "outlook_logits",
+                         a.astype(jnp.float32))
+            a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(x.dtype)
+            a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
+            y = outlook_aggregate(v, a, kernel_size=k, stride=s,
+                                  use_pallas=False)
         y = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="proj")(y)
         y = nn.Dropout(self.proj_drop, deterministic=deterministic)(y)
         return y
@@ -212,7 +225,7 @@ class OutlookerBlock2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, capture: bool = False):
-        y = LayerNorm(epsilon=self.norm_eps, name="norm1")(x)
+        y = LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
         y = OutlookAttention2d(
             dim=self.dim,
             num_heads=self.num_heads,
@@ -226,7 +239,7 @@ class OutlookerBlock2d(nn.Module):
         )(y, deterministic=deterministic, capture=capture)
         x = x + DropPath(self.drop_path, name="dp1")(y, deterministic=deterministic)
 
-        y = LayerNorm(epsilon=self.norm_eps, name="norm2")(x)
+        y = LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
         y = ChannelMLP(dim=self.dim, mlp_ratio=self.mlp_ratio, drop=self.mlp_drop,
                        act=self.act, dtype=self.dtype, name="mlp")(
             y, deterministic=deterministic)
@@ -289,7 +302,7 @@ class OutGridBlock(nn.Module):
         if cfg.num_heads > 0:
             # grid-attn + MLP sub-block norms use torch nn.LayerNorm default
             # eps 1e-5 (`Out_Grid_Block.py:69,84`)
-            y = LayerNorm(epsilon=1e-5, name="norm2")(x)
+            y = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
             y = GridAttention2D(
                 dim=C,
                 num_heads=cfg.num_heads,
@@ -303,7 +316,7 @@ class OutGridBlock(nn.Module):
             )(y, deterministic=deterministic, capture=capture)
             x = x + DropPath(cfg.drop_path, name="dp2")(y, deterministic=deterministic)
 
-        y = LayerNorm(epsilon=1e-5, name="norm3")(x)
+        y = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         y = ChannelMLP(dim=C, mlp_ratio=cfg.mlp_ratio, drop=cfg.ffn_drop,
                        act=cfg.mlp_act, dtype=self.dtype, name="mlp")(
             y, deterministic=deterministic)
@@ -342,7 +355,7 @@ class GridOnlyBlock(nn.Module):
             )(x, train=train, deterministic=deterministic)
 
         if cfg.num_heads > 0:
-            y = LayerNorm(epsilon=1e-5, name="norm2")(x)
+            y = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
             y = GridAttention2D(
                 dim=C,
                 num_heads=cfg.num_heads,
@@ -356,7 +369,7 @@ class GridOnlyBlock(nn.Module):
             )(y, deterministic=deterministic, capture=capture)
             x = x + DropPath(cfg.drop_path, name="dp2")(y, deterministic=deterministic)
 
-        y = LayerNorm(epsilon=1e-5, name="norm3")(x)
+        y = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         y = ChannelMLP(dim=C, mlp_ratio=cfg.mlp_ratio, drop=cfg.ffn_drop,
                        act=cfg.mlp_act, dtype=self.dtype, name="mlp")(
             y, deterministic=deterministic)

@@ -69,18 +69,24 @@ class BatchNorm(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """Channel LayerNorm over the last axis, fp32 internals.
+    """Channel LayerNorm over the last axis; fp32 params.
 
     Replaces the reference's permute->LN->permute ``LayerNorm2d``
     (`src/model/outlook_attention.py:17-31`) — NHWC makes it a plain LN.
+    ``dtype=None`` (default) keeps fp32 compute (parity mode); pass the
+    block's compute dtype for bf16 norms in training (flax still upcasts
+    the mean/var reduction internally).
     """
 
     epsilon: float = 1e-6
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(
-            epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32,
+            epsilon=self.epsilon,
+            dtype=self.dtype or jnp.float32,
+            param_dtype=jnp.float32,
             name="ln",
         )(x)
         return y.astype(x.dtype)
