@@ -293,3 +293,102 @@ def get_synthetic_dataloaders(
         seed=seed, num_threads=1,
     )
     return loader, None, None
+
+
+# ------------------------------------------------------ Food-101 (no augs)
+
+def get_food101_dataloaders(
+    batch_size: int = 128,
+    data_dir: str = "./data",
+    hf_name: str = "food101",
+    num_workers: int = 8,
+    val_split: float = 0.0,
+    img_size: int = 64,
+    seed: int = 7,
+    **_,
+):
+    """Food-101 via a local HF cache; plain Resize/Normalize only — the
+    reference uses no augmentation here (`src/data/load_food101.py:85-90`)."""
+    try:
+        import datasets as hf_datasets
+
+        ds = hf_datasets.load_dataset(hf_name, cache_dir=str(data_dir))
+    except Exception as e:
+        raise FileNotFoundError(
+            f"Food-101 HF dataset unavailable offline (cache_dir={data_dir}): {e}"
+        ) from e
+    train_split, test_split = ds["train"], ds["validation"]
+    ytr = np.asarray(train_split["label"], dtype=np.int64)
+    yte = np.asarray(test_split["label"], dtype=np.int64)
+    return _make_loaders(
+        _HFImageView(train_split), ytr, _HFImageView(test_split), yte,
+        native_size=img_size, mean=IMAGENET_MEAN, std=IMAGENET_STD,
+        batch_size=batch_size, val_split=val_split, seed=seed,
+        img_size=img_size, num_threads=max(1, num_workers),
+        enable_augs=False,
+    )
+
+
+# ------------------------------------------- Oxford-IIIT Pets (no augs)
+
+def get_oxfordpets_dataloaders(
+    batch_size: int = 128,
+    data_dir: str = "./data",
+    num_workers: int = 8,
+    val_split: float = 0.0,
+    img_size: int = 64,
+    seed: int = 7,
+    **_,
+):
+    """Oxford-IIIT Pets from the official directory layout
+    (``images/`` + ``annotations/{trainval,test}.txt``), official splits,
+    no augmentation (reference `src/data/load_oxfordpets.py:33-54`)."""
+    root = Path(data_dir)
+    base = None
+    for cand in (root, root / "oxford-iiit-pet"):
+        if (cand / "annotations" / "trainval.txt").exists():
+            base = cand
+            break
+    if base is None:
+        raise FileNotFoundError(
+            f"Oxford-IIIT Pets not found under {data_dir}. Expected "
+            f"{data_dir}/oxford-iiit-pet/{{images/, annotations/trainval.txt, "
+            f"annotations/test.txt}}; no network egress to download."
+        )
+
+    def load_split(name):
+        paths, labels = [], []
+        for line in (base / "annotations" / f"{name}.txt").read_text().splitlines():
+            if not line.strip():
+                continue
+            stem, class_id = line.split()[0], int(line.split()[1])
+            img = base / "images" / f"{stem}.jpg"
+            if img.exists():
+                paths.append(img)
+                labels.append(class_id - 1)
+        return paths, np.asarray(labels, dtype=np.int64)
+
+    from outgridvit_tpu.data.corruptions import _ImageFileView
+
+    tr_paths, ytr = load_split("trainval")
+    te_paths, yte = load_split("test")
+    return _make_loaders(
+        _ImageFileView(tr_paths), ytr, _ImageFileView(te_paths), yte,
+        native_size=img_size, mean=IMAGENET_MEAN, std=IMAGENET_STD,
+        batch_size=batch_size, val_split=val_split, seed=seed,
+        img_size=img_size, num_threads=max(1, num_workers),
+        enable_augs=False,
+    )
+
+
+def tinyimagenet_wnid_to_label(
+    data_dir: str = "./data", hf_name: str = "zh-plus/tiny-imagenet"
+) -> dict:
+    """wnid -> clean label index map, needed by the Tiny-ImageNet-C
+    intersection loaders (reference `load_tinyimagenet.py:29-64` exposes
+    class_names from the HF ClassLabel feature)."""
+    import datasets as hf_datasets
+
+    ds = hf_datasets.load_dataset(hf_name, cache_dir=str(data_dir))
+    names = ds["train"].features["label"].names
+    return {wnid: i for i, wnid in enumerate(names)}

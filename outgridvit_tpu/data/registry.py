@@ -45,6 +45,16 @@ def build_dataloaders(
             drop_last=bool(data_cfg.get("drop_last", True)),
             **common,
         )
+    if dataset == "food101":
+        return D.get_food101_dataloaders(
+            hf_name=str(data_cfg.get("hf_name", "food101")),
+            img_size=int(data_cfg.get("img_size", 64)),
+            **common,
+        )
+    if dataset in ("oxfordpets", "oxford-iiit-pet", "pets"):
+        return D.get_oxfordpets_dataloaders(
+            img_size=int(data_cfg.get("img_size", 64)), **common
+        )
     if dataset == "synthetic":
         return D.get_synthetic_dataloaders(
             batch_size=batch_size,
@@ -54,6 +64,6 @@ def build_dataloaders(
             seed=data_seed,
         )
     raise ValueError(
-        "data.dataset must be 'cifar100', 'svhn', 'tinyimagenet200', or "
-        "'synthetic'"
+        "data.dataset must be 'cifar100', 'svhn', 'tinyimagenet200', "
+        "'food101', 'oxfordpets', or 'synthetic'"
     )

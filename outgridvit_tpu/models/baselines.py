@@ -1,0 +1,167 @@
+"""Baseline model zoo for the comparison harness.
+
+The reference benchmarks 6 timm models under the identical training recipe
+(`scripts/train_cifar32_baselines.py:26-131`: DeiT-T/S patch4, Swin-T
+patch2, MaxViT-T/Nano, ResNet18 with CIFAR stem). timm does not exist for
+JAX, so the architectures are implemented here directly (NHWC, same
+CIFAR-stem surgery ideas):
+
+- ``resnet18_cifar``: ResNet-18 with the 3x3/stride-1 CIFAR stem (no maxpool)
+- ``deit_tiny_patch4`` / ``deit_small_patch4``: ViT with 4x4 patch embedding,
+  cls token, learned position embeddings
+- ``vit_micro_patch4``: a small smoke-scale ViT for tests
+
+All take/return the same (NHWC image -> logits) contract as the main models
+and train through the same ``train_model`` loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from outgridvit_tpu.models.layers import BatchNorm
+
+Dtype = jnp.dtype
+
+
+class _BasicBlock(nn.Module):
+    filters: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = nn.Conv(self.filters, (3, 3), strides=(self.stride,) * 2,
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = BatchNorm(name="bn1")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = BatchNorm(name="bn2")(y, use_running_average=not train)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.filters, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
+                               dtype=self.dtype, name="downsample")(residual)
+            residual = BatchNorm(name="downsample_bn")(
+                residual, use_running_average=not train)
+        return nn.relu(residual + y)
+
+
+class ResNet18Cifar(nn.Module):
+    """ResNet-18 with CIFAR stem (3x3 s1, no maxpool) — the reference's
+    'surgery' baseline (`train_cifar32_baselines.py:112-131`)."""
+
+    num_classes: int = 100
+    width: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False,
+                 deterministic: Optional[bool] = None, capture: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.width, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="stem")(x)
+        x = BatchNorm(name="stem_bn")(x, use_running_average=not train)
+        x = nn.relu(x)
+        for si, (filters, stride) in enumerate(
+            [(self.width, 1), (self.width * 2, 2), (self.width * 4, 2),
+             (self.width * 8, 2)]
+        ):
+            for bi in range(2):
+                x = _BasicBlock(filters, stride if bi == 0 else 1,
+                                dtype=self.dtype,
+                                name=f"layer{si}_{bi}")(x, train=train)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)
+
+
+class _ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from outgridvit_tpu.models.blocks import MultiHeadSelfAttention
+        from outgridvit_tpu.models.layers import ChannelMLP, DropPath, LayerNorm
+
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = MultiHeadSelfAttention(dim=self.dim, num_heads=self.num_heads,
+                                   use_pallas=False, dtype=self.dtype,
+                                   name="attn")(y, deterministic=deterministic)
+        x = x + DropPath(self.drop_path, name="dp1")(y, deterministic=deterministic)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = ChannelMLP(dim=self.dim, mlp_ratio=self.mlp_ratio,
+                       dtype=self.dtype, name="mlp")(y, deterministic=deterministic)
+        x = x + DropPath(self.drop_path, name="dp2")(y, deterministic=deterministic)
+        return x
+
+
+class DeiT(nn.Module):
+    """DeiT/ViT with patch embedding + cls token + learned pos-embed; the
+    patch4 small-image variant the reference benchmarks
+    (`train_cifar32_baselines.py:26-60`)."""
+
+    num_classes: int = 100
+    patch: int = 4
+    dim: int = 192
+    depth: int = 12
+    num_heads: int = 3
+    mlp_ratio: float = 4.0
+    dpr_max: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False,
+                 deterministic: Optional[bool] = None, capture: bool = False):
+        from outgridvit_tpu.models.layers import LayerNorm
+        from outgridvit_tpu.stage_config import make_dpr
+
+        if deterministic is None:
+            deterministic = not train
+        x = x.astype(self.dtype)
+        B, H, W, _ = x.shape
+        x = nn.Conv(self.dim, (self.patch,) * 2, strides=(self.patch,) * 2,
+                    dtype=self.dtype, name="patch_embed")(x)
+        n = (H // self.patch) * (W // self.patch)
+        x = x.reshape(B, n, self.dim)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
+        pos = self.param("pos_embed",
+                         nn.initializers.normal(0.02), (1, n + 1, self.dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.dim)).astype(x.dtype), x], 1)
+        x = x + pos.astype(x.dtype)
+        dprs = make_dpr(self.depth, self.dpr_max)
+        for i in range(self.depth):
+            x = _ViTBlock(self.dim, self.num_heads, self.mlp_ratio,
+                          drop_path=dprs[i], dtype=self.dtype,
+                          name=f"blocks_{i}")(x, deterministic=deterministic)
+        x = LayerNorm(epsilon=1e-6, name="norm")(x)
+        return nn.Dense(self.num_classes, dtype=jnp.float32,
+                        name="head")(x[:, 0].astype(jnp.float32))
+
+
+def build_baseline(name: str, num_classes: int, dtype=jnp.float32):
+    name = name.lower()
+    if name in ("resnet18", "resnet18_cifar"):
+        return ResNet18Cifar(num_classes=num_classes, dtype=dtype)
+    if name in ("deit_tiny", "deit_tiny_patch4"):
+        return DeiT(num_classes=num_classes, patch=4, dim=192, depth=12,
+                    num_heads=3, dtype=dtype)
+    if name in ("deit_small", "deit_small_patch4"):
+        return DeiT(num_classes=num_classes, patch=4, dim=384, depth=12,
+                    num_heads=6, dtype=dtype)
+    if name in ("vit_micro", "vit_micro_patch4"):
+        return DeiT(num_classes=num_classes, patch=4, dim=32, depth=2,
+                    num_heads=2, dtype=dtype)
+    raise ValueError(
+        f"Unknown baseline '{name}'. Available: resnet18_cifar, "
+        f"deit_tiny_patch4, deit_small_patch4, vit_micro_patch4"
+    )

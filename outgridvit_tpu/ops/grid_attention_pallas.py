@@ -176,7 +176,7 @@ def _fwd(qkv, heads):
     while Bgrp % P != 0 and P > 1:
         P //= 2
     G, PN = Bgrp // P, P * N
-    gt = _pick_tile(G, PN, C, qkv.dtype, vmem_budget=1536 * 1024)
+    gt = _pick_tile(G, PN, C, qkv.dtype, vmem_budget=3 * 1024 * 1024)
     mask = jnp.asarray(_block_mask(P, N))
     qkv2 = qkv.reshape(G, PN, C3)  # free: contiguous merge of P grids
     out2 = pl.pallas_call(
@@ -210,7 +210,7 @@ def _bwd_vjp(heads, res, do):
         P //= 2
     G, PN = Bgrp // P, P * N
     # the backward body holds ~3x the forward's intermediates per group
-    gt = _pick_tile(G, PN, C, qkv.dtype, vmem_budget=512 * 1024)
+    gt = _pick_tile(G, PN, C, qkv.dtype, vmem_budget=1024 * 1024)
     mask = jnp.asarray(_block_mask(P, N))
     qkv2 = qkv.reshape(G, PN, C3)
     do2 = do.reshape(G, PN, C)
