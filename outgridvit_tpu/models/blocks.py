@@ -375,3 +375,54 @@ class GridOnlyBlock(nn.Module):
             y, deterministic=deterministic)
         x = x + DropPath(cfg.drop_path, name="dp3")(y, deterministic=deterministic)
         return x
+
+
+class MaxOutStage(nn.Module):
+    """Sequential stack of OutGridBlocks (reference
+    `src/model/Grid_Only_Block.py:11-19`; defined for composition parity —
+    the shipped models inline their stages)."""
+
+    cfg: StageCfg
+    depth: int
+    use_pallas: Optional[bool] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, deterministic: bool = True,
+                 capture: bool = False):
+        for i in range(self.depth):
+            x = OutGridBlock(cfg=self.cfg, use_pallas=self.use_pallas,
+                             dtype=self.dtype, name=f"blocks_{i}")(
+                x, train=train, deterministic=deterministic, capture=capture)
+        return x
+
+
+class StageOutThenGrid(nn.Module):
+    """N Outlookers followed by M GridOnlyBlocks (reference
+    `src/model/Grid_Only_Block.py:76-104`)."""
+
+    cfg: StageCfg
+    depth: int
+    out_depth: int = 1
+    use_pallas: Optional[bool] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, deterministic: bool = True,
+                 capture: bool = False):
+        cfg = self.cfg
+        for i in range(self.out_depth):
+            x = OutlookerBlock2d(
+                dim=cfg.dim, num_heads=cfg.outlook_heads,
+                kernel_size=cfg.outlook_kernel, stride=1,
+                mlp_ratio=cfg.outlook_mlp_ratio, attn_drop=cfg.attn_drop,
+                proj_drop=cfg.proj_drop, mlp_drop=cfg.ffn_drop,
+                drop_path=cfg.drop_path, act=cfg.mlp_act,
+                use_pallas=self.use_pallas, dtype=self.dtype,
+                name=f"outlookers_{i}",
+            )(x, deterministic=deterministic, capture=capture)
+        for i in range(self.depth):
+            x = GridOnlyBlock(cfg=cfg, use_pallas=self.use_pallas,
+                              dtype=self.dtype, name=f"blocks_{i}")(
+                x, train=train, deterministic=deterministic, capture=capture)
+        return x

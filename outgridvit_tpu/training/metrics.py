@@ -11,10 +11,12 @@ def accuracy_topk(logits: jnp.ndarray, targets: jnp.ndarray, ks=(1, 3, 5)):
     """Returns {k: percent correct in top-k} as traced fp32 scalars."""
     if targets.ndim == 2:
         targets = targets.argmax(axis=-1)
-    max_k = max(ks)
+    num_classes = logits.shape[-1]
+    max_k = min(max(ks), num_classes)  # k cannot exceed the class count
     _, pred = jax.lax.top_k(logits, max_k)  # [B, max_k]
     correct = pred == targets[:, None].astype(pred.dtype)
     out = {}
     for k in ks:
-        out[k] = 100.0 * correct[:, :k].any(axis=-1).astype(jnp.float32).mean()
+        kk = min(k, num_classes)
+        out[k] = 100.0 * correct[:, :kk].any(axis=-1).astype(jnp.float32).mean()
     return out

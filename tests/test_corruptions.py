@@ -1,0 +1,126 @@
+"""Corruption-suite tests with synthesized on-disk fixtures."""
+
+import numpy as np
+import pytest
+
+from outgridvit_tpu.data.corruptions import (
+    evaluate_cifar100c_suite,
+    evaluate_tinyc_suite,
+    get_cifar100c_loader,
+    get_tinyimagenet200c_loader_intersection,
+    list_tinyc_corruptions,
+    summarize_corruption_results,
+)
+
+
+@pytest.fixture
+def fake_c100c(tmp_path):
+    base = tmp_path / "CIFAR-100-C"
+    base.mkdir()
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 100, size=50000).astype(np.int64)
+    np.save(base / "labels.npy", labels)
+    for name in ("gaussian_noise", "fog"):
+        imgs = rng.integers(0, 255, size=(50000, 32, 32, 3), dtype=np.uint8)
+        np.save(base / f"{name}.npy", imgs)
+    return tmp_path
+
+
+def test_cifar100c_loader_severity_slicing(fake_c100c):
+    loader = get_cifar100c_loader("fog", 3, str(fake_c100c), batch_size=500)
+    assert len(loader) == 20
+    x, y = next(iter(loader))
+    assert x.shape == (500, 32, 32, 3)
+    with pytest.raises(ValueError):
+        get_cifar100c_loader("fog", 6, str(fake_c100c))
+    with pytest.raises(FileNotFoundError):
+        get_cifar100c_loader("nonexistent", 1, str(fake_c100c))
+
+
+def test_cifar100c_suite_and_summary(fake_c100c):
+    def fake_eval(loader):
+        return 1.0, {"top1": 50.0, "top5": 80.0}
+
+    rows = evaluate_cifar100c_suite(
+        fake_eval, str(fake_c100c), corruptions=["fog", "gaussian_noise"],
+        severities=(1, 5), verbose=False)
+    assert len(rows) == 4
+    summary = summarize_corruption_results(rows)
+    assert summary["overall_top1"] == pytest.approx(50.0)
+    assert summary["by_severity"] == {1: 50.0, 5: 50.0}
+    assert set(summary["by_corruption"]) == {"fog", "gaussian_noise"}
+
+
+@pytest.fixture
+def fake_tinyc(tmp_path):
+    from PIL import Image
+
+    base = tmp_path / "Tiny-ImageNet-C"
+    rng = np.random.default_rng(0)
+    for corr in ("fog",):
+        for sev in (1, 3):
+            for wnid in ("n001", "n002", "n999"):
+                d = base / corr / str(sev) / wnid
+                d.mkdir(parents=True)
+                for i in range(3):
+                    arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+                    Image.fromarray(arr).save(d / f"{wnid}_{i}.JPEG")
+    return tmp_path
+
+
+def test_tinyc_intersection_and_remap(fake_tinyc):
+    # clean set knows n001 and n002 only -> n999 must be dropped
+    wnid_map = {"n001": 7, "n002": 42}
+    loader, kept = get_tinyimagenet200c_loader_intersection(
+        "fog", 1, str(fake_tinyc), wnid_map, batch_size=6)
+    assert kept == ["n001", "n002"]
+    xs, ys = [], []
+    for x, y in loader:
+        xs.append(x)
+        ys.append(y)
+    y = np.concatenate(ys)
+    assert set(y.tolist()) == {7, 42}
+    assert len(y) == 6  # 3 per kept class
+
+    assert list_tinyc_corruptions(str(fake_tinyc)) == ["fog"]
+
+
+def test_tinyc_suite(fake_tinyc):
+    def fake_eval(loader):
+        return 0.5, {"top1": 25.0, "top5": 60.0}
+
+    rows = evaluate_tinyc_suite(
+        fake_eval, {"n001": 0, "n002": 1}, str(fake_tinyc),
+        corruptions=["fog"], severities=(1, 3), verbose=False)
+    assert len(rows) == 2
+    assert all(r["n_classes"] == 2 for r in rows)
+
+
+def test_data_utils_describe_and_show(tmp_path):
+    from outgridvit_tpu.data.datasets import get_synthetic_dataloaders
+    from outgridvit_tpu.data.data_utils import describe_loader, show_batch
+
+    loader, _, _ = get_synthetic_dataloaders(batch_size=8, num_samples=16,
+                                             img_size=8, num_classes=4)
+    info = describe_loader(loader, "synthetic")
+    assert info["batch_shape"] == (8, 8, 8, 3)
+    assert info["n_unique_labels"] <= 4
+    out = tmp_path / "batch.png"
+    show_batch(loader, mean=(0, 0, 0), std=(1, 1, 1), n=8, save_path=str(out))
+    assert out.stat().st_size > 1000
+
+
+def test_baseline_zoo_forward():
+    import jax
+    import jax.numpy as jnp
+
+    from outgridvit_tpu.models.baselines import build_baseline
+
+    x = jnp.zeros((2, 16, 16, 3))
+    for name in ("resnet18_cifar", "vit_micro_patch4"):
+        model = build_baseline(name, 10)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        logits = model.apply(variables, x)
+        assert logits.shape == (2, 10)
+    with pytest.raises(ValueError):
+        build_baseline("alexnet", 10)
