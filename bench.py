@@ -39,7 +39,9 @@ def main() -> int:
     from outgridvit_tpu.training.steps import StepConfig, make_train_step
     from outgridvit_tpu.training.train_state import TrainState
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "1024"))
+    # swept on v5e: 512 is the throughput sweet spot (5.9k imgs/s vs 5.5k at
+    # 1024, 4.7k at 2048 — larger batches lose pipelining on this model)
+    batch_size = int(os.environ.get("BENCH_BATCH", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     warmup = int(os.environ.get("BENCH_WARMUP", "10"))
 

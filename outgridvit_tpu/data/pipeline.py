@@ -167,8 +167,15 @@ class Prefetcher:
         def put(batch):
             x, y = batch
             if self.sharding is not None:
-                x = self._jax.device_put(x, self.sharding)
-                y = self._jax.device_put(y, self.sharding)
+                try:
+                    x = self._jax.device_put(x, self.sharding)
+                    y = self._jax.device_put(y, self.sharding)
+                except ValueError:
+                    # ragged last batch not divisible by the data axis:
+                    # fall back to an unsharded put (GSPMD reshards inside
+                    # jit; only the final partial eval batch hits this)
+                    x = self._jax.device_put(x)
+                    y = self._jax.device_put(y)
             else:
                 x = self._jax.device_put(x)
                 y = self._jax.device_put(y)

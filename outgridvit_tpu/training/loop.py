@@ -208,11 +208,19 @@ def train_model(
         print("val_loader=None => no early-stop / no best saving by val metric.")
     print("==================")
 
+    # optional profiler trace of the first trained epoch (reference only has
+    # print-based tracing, SURVEY §5; set OUTGRIDVIT_PROFILE_DIR to capture)
+    import os
+
+    profile_dir = os.environ.get("OUTGRIDVIT_PROFILE_DIR")
+
     for epoch in range(start_epoch + 1, epochs + 1):
         print(f"\n=== Epoch {epoch}/{epochs} ===")
         t_epoch = time.time()
         if hasattr(train_loader, "set_epoch"):
             train_loader.set_epoch(epoch)
+        if profile_dir and epoch == start_epoch + 1:
+            jax.profiler.start_trace(profile_dir)
 
         # ---------------- train epoch
         t0 = time.time()
@@ -246,6 +254,10 @@ def train_model(
                     f"gnorm {mm['grad_norm']:.3f} | clip {clip_pct:.1f}% | "
                     f"oflow 0 | nonfinite {oflow} | scale 1.0"
                 )
+
+        if profile_dir and epoch == start_epoch + 1:
+            jax.profiler.stop_trace()
+            print(f"[profile] wrote jax trace to {profile_dir}")
 
         tr = {
             k: float(np.mean([float(s[k]) for s in step_metrics]))
