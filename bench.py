@@ -39,10 +39,11 @@ def main() -> int:
     from outgridvit_tpu.training.steps import StepConfig, make_train_step
     from outgridvit_tpu.training.train_state import TrainState
 
-    # swept on v5e: 512 is the throughput sweet spot (5.9k imgs/s vs 5.5k at
-    # 1024, 4.7k at 2048 — larger batches lose pipelining on this model)
-    batch_size = int(os.environ.get("BENCH_BATCH", "512"))
-    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    # swept on v5e: 128 is the throughput sweet spot (6.6k imgs/s, vs 6.3k
+    # at 256, 5.9k at 512, 5.5k at 1024, 4.4k at 64; non-power-of-2 sizes
+    # regress hard). The reference's own training ran at bs 64.
+    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
+    steps = int(os.environ.get("BENCH_STEPS", "100"))
     warmup = int(os.environ.get("BENCH_WARMUP", "10"))
 
     cfg = yaml.safe_load((ROOT / "configs" / "cifar100_model_a_7m.yaml").read_text())

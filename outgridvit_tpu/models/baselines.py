@@ -17,9 +17,8 @@ and train through the same ``train_model`` loop.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

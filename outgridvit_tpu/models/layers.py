@@ -14,7 +14,7 @@ Behavioral parity targets are cited per-layer against the reference.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -96,14 +96,13 @@ def outlook_aggregate(
     stride: int = 1,
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """Dispatching wrapper: Pallas TPU kernel when profitable, XLA otherwise."""
-    if use_pallas is None:
-        use_pallas = stride == 1 and jax.default_backend() == "tpu"
-    if use_pallas and stride == 1:
-        try:
-            from outgridvit_tpu.ops.outlook_pallas import outlook_aggregate_pallas
+    """Outlook aggregation entry point.
 
-            return outlook_aggregate_pallas(v, attn, kernel_size=kernel_size)
-        except (ImportError, NotImplementedError):
-            pass
+    Always the XLA shift-and-accumulate path: a fused Pallas variant
+    (softmax + taps, :mod:`outgridvit_tpu.ops.outlook_pallas`) exists but
+    measured slower on v5e (Mosaic rotates only 32-bit data); the module
+    layer (`models/blocks.py OutlookAttention2d`) owns that dispatch.
+    ``use_pallas`` is accepted for signature stability and ignored here.
+    """
+    del use_pallas
     return outlook_aggregate_xla(v, attn, kernel_size=kernel_size, stride=stride)

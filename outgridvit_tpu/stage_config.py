@@ -11,7 +11,7 @@ needed a hacked block variant for this (see SURVEY.md §2.6 ablation note).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass, fields
 from typing import Any, Mapping
 
 

@@ -19,7 +19,7 @@ all-reduce and cross-device BN statistics automatically).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

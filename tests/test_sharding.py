@@ -105,3 +105,22 @@ def test_graft_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_tp_matches_dp_numerically():
+    # tensor-parallel sharding must not change the math: same batch, same
+    # params -> same loss on a pure-DP mesh and a DPxTP mesh
+    step_cfg = StepConfig(num_classes=10)
+    x = jax.random.normal(jax.random.PRNGKey(3), (16, 8, 8, 3))
+    y = (jnp.arange(16) % 10).astype(jnp.int32)
+
+    losses = []
+    for shape in ((8, 1), (4, 2)):
+        mesh = make_mesh(shape)
+        model, state = _make_state(mesh)
+        step = make_train_step(step_cfg)
+        bshard = batch_sharding(mesh)
+        _, m = step(state, (jax.device_put(x, bshard),
+                            jax.device_put(y, bshard)), jax.random.PRNGKey(2))
+        losses.append(float(m["loss"]))
+    assert losses[0] == pytest.approx(losses[1], rel=1e-5)
