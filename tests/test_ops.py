@@ -87,3 +87,24 @@ def test_outlook_aggregate_validates():
         outlook_aggregate_xla(v, a, kernel_size=3, stride=0)
     with pytest.raises(ValueError):
         outlook_aggregate_xla(v, jnp.zeros((1, 4, 4, 3, 9)), kernel_size=3)
+
+
+def test_functional_mhsa_matches_module_math():
+    import jax
+    import jax.numpy as jnp
+
+    from outgridvit_tpu.ops.attention import mhsa
+
+    B, heads, N, hd = 2, 2, 8, 4
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, heads, N, hd))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, heads, N, hd))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, heads, N, hd))
+    out, attn = mhsa(q, k, v, return_attn=True)
+    assert out.shape == (B, heads, N, hd)
+    np.testing.assert_allclose(np.asarray(attn.sum(-1)), 1.0, atol=1e-5)
+    # manual computation
+    logits = np.einsum("bhnd,bhmd->bhnm", q, k) * hd**-0.5
+    a = np.exp(logits - logits.max(-1, keepdims=True))
+    a = a / a.sum(-1, keepdims=True)
+    want = np.einsum("bhnm,bhmd->bhnd", a, v)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)

@@ -139,3 +139,34 @@ def test_losses_match_torch_semantics():
     got2 = float(soft_target_cross_entropy(jnp.asarray(logits),
                                            jnp.asarray(soft)))
     assert got2 == pytest.approx(want2, rel=1e-5)
+
+
+def test_log_line_format_matches_reference(capsys):
+    """The printed train/val lines must keep the reference's format
+    (`one_epoch_train.py:180-186`, `train_full_model.py:202-256`) so log
+    parsers written for the reference keep working."""
+    import re
+
+    from outgridvit_tpu.training import train_model
+
+    train_loader, _, _ = get_synthetic_dataloaders(
+        batch_size=8, num_samples=16, img_size=8, num_classes=10, seed=0)
+    model = tiny_model()
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        train_model(
+            model=model, train_loader=train_loader, epochs=1,
+            val_loader=train_loader, use_amp=False, print_every=2,
+            save_path=os.path.join(d, "b.ckpt"),
+            last_path=os.path.join(d, "l.ckpt"),
+            num_classes=10, early_stop=False, seed=0)
+    out = capsys.readouterr().out
+    assert re.search(
+        r"\[train step \d+/\d+\] loss \d+\.\d{4} \| top1 \d+\.\d{2}% \| "
+        r"top3 \d+\.\d{2}% \| top5 \d+\.\d{2}% \| [\d.]+ img/s \| "
+        r"lr \d\.\d{2}e[+-]\d+ \| gnorm \d+\.\d{3} \| clip \d+\.\d% \| "
+        r"oflow \d+ \| nonfinite \d+ \| scale 1\.0", out), out
+    assert re.search(r"\[Train\] loss \d+\.\d{4} \| top1 \d+\.\d{2}%", out)
+    assert re.search(r"\[Val\]   loss \d+\.\d{4} \| top1 \d+\.\d{2}%", out)
+    assert "=== Run config ===" in out
