@@ -27,10 +27,14 @@ from flax.traverse_util import flatten_dict, unflatten_dict
 
 
 def _np(t) -> np.ndarray:
+    # copy=True matters: .numpy() returns a VIEW of the torch tensor's
+    # memory, and jax-on-CPU can alias numpy buffers zero-copy — a later
+    # in-place torch op (e.g. BatchNorm running-stat updates during a
+    # train-mode forward) would silently mutate the ported flax arrays.
     try:  # torch tensor
-        return t.detach().cpu().numpy()
+        return np.array(t.detach().cpu().numpy(), copy=True)
     except AttributeError:
-        return np.asarray(t)
+        return np.array(t, copy=True)
 
 
 def _candidates(flax_path: tuple) -> list:

@@ -132,3 +132,39 @@ def test_outlook_attention_stride2_parity():
     variables = port_torch_state_dict(ref.state_dict(), variables)
     got = np.asarray(ours.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=1e-5, rtol=0)
+
+
+def test_model_a_train_mode_forward_parity():
+    """Train-mode forward (BatchNorm batch statistics) must also match —
+    this locks the training-path math, not just eval."""
+    from src.Model_A_OutGridNet import MaxOutNet as RefMaxOutNet
+
+    torch.manual_seed(0)
+    ref = RefMaxOutNet(num_classes=10, stages=_ref_stage_cfgs(STAGES),
+                       in_ch=3, stem_dim=16, dpr_max=0.0)
+    ours = MaxOutNet(num_classes=10, stages=STAGES, in_ch=3, stem_dim=16,
+                     dpr_max=0.0, use_pallas=False)
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+
+    # port BEFORE the torch forward: train-mode forward updates torch's
+    # running stats in place, and both sides must start from the same ones
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = port_torch_state_dict(ref.state_dict(), variables)
+
+    ref.train()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    got, mutated = ours.apply(
+        variables, jnp.asarray(x), train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1),
+              "droppath": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=0)
+
+    # running stats must update toward the batch stats identically
+    # (torch: new = 0.9*old + 0.1*batch; flax momentum 0.9 is the same)
+    t_mean = ref.state_dict()["stem.stem.1.running_mean"].numpy()
+    f_mean = np.asarray(mutated["batch_stats"]["stem"]["bn"]["bn"]["mean"])
+    np.testing.assert_allclose(f_mean, t_mean, atol=1e-4)
