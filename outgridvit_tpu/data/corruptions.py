@@ -246,3 +246,67 @@ def evaluate_tinyc_suite(
 
 
 summarize_tinyc_results = summarize_corruption_results
+
+
+def get_tiny_clean_intersection_loader(
+    clean_test_loader_images,
+    clean_test_labels,
+    clean_wnid_to_label: Dict[str, int],
+    data_dir: str,
+    batch_size: int = 256,
+    img_size: int = 64,
+    num_workers: int = 8,
+):
+    """Clean Tiny-ImageNet test set filtered to the classes that also exist
+    in the corruption set (reference `load_tinyimagenet_C.py:334-398` — the
+    "clean-182" baseline row in the published robustness table).
+
+    Args:
+      clean_test_loader_images: indexable uint8 image source for the clean
+        test split.
+      clean_test_labels: int array aligned with it.
+    Returns (loader, kept_label_set).
+    """
+    base = _find_tinyc_dir(data_dir)
+    c_wnids = set()
+    for corr in base.iterdir():
+        if not corr.is_dir():
+            continue
+        for sev in corr.iterdir():
+            if sev.is_dir():
+                c_wnids.update(p.name for p in sev.iterdir() if p.is_dir())
+        break  # one corruption is enough to enumerate the class set
+    kept_labels = sorted(
+        clean_wnid_to_label[w] for w in c_wnids if w in clean_wnid_to_label
+    )
+    kept_set = set(kept_labels)
+    labels = np.asarray(clean_test_labels)
+    idxs = np.nonzero(np.isin(labels, kept_labels))[0]
+    if len(idxs) == 0:
+        raise ValueError("no clean-test samples overlap the corruption classes")
+
+    class _Sub:
+        def __getitem__(self, i):
+            return np.asarray(clean_test_loader_images[int(idxs[i])])
+
+        def __len__(self):
+            return len(idxs)
+
+    tf = EvalTransform(img_size, IMAGENET_MEAN, IMAGENET_STD)
+    loader = ArrayDataLoader(
+        _Sub(), labels[idxs].astype(np.int64), batch_size=batch_size,
+        shuffle=False, transform=tf, num_threads=max(1, num_workers))
+    return loader, kept_set
+
+
+def crosscheck_cifar100c_labels(data_dir: str, cifar_data_dir: str) -> bool:
+    """Sanity utility (reference `load_cifrar100_C.py:182-206`): CIFAR-100-C
+    labels.npy severity-1 slice must equal the clean CIFAR-100 test labels."""
+    from outgridvit_tpu.data.datasets import _load_cifar100_raw
+
+    base = _find_cifar100c_dir(data_dir)
+    c_labels = np.load(base / "labels.npy")[:10000]
+    (_, _), (_, te_labels) = _load_cifar100_raw(cifar_data_dir)
+    ok = bool(np.array_equal(np.asarray(c_labels), np.asarray(te_labels)))
+    print(f"CIFAR-100-C label cross-check: {'OK' if ok else 'MISMATCH'}")
+    return ok

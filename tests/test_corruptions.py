@@ -124,3 +124,38 @@ def test_baseline_zoo_forward():
         assert logits.shape == (2, 10)
     with pytest.raises(ValueError):
         build_baseline("alexnet", 10)
+
+
+def test_tiny_clean_intersection_loader(fake_tinyc):
+    from outgridvit_tpu.data.corruptions import get_tiny_clean_intersection_loader
+
+    rng = np.random.default_rng(0)
+    clean_images = rng.integers(0, 255, (12, 64, 64, 3), dtype=np.uint8)
+    # labels 0..3; wnid map says n001->0, n002->1 exist in the C set;
+    # labels 2,3 belong to classes absent from the corruption set
+    clean_labels = np.arange(12) % 4
+    wnid_map = {"n001": 0, "n002": 1, "nXXX": 2, "nYYY": 3}
+    loader, kept = get_tiny_clean_intersection_loader(
+        clean_images, clean_labels, wnid_map, str(fake_tinyc), batch_size=4)
+    assert kept == {0, 1}
+    ys = np.concatenate([y for _, y in loader])
+    assert set(ys.tolist()) == {0, 1}
+    assert len(ys) == 6
+
+
+def test_cifar100c_label_crosscheck(fake_c100c, tmp_path):
+    import pickle
+
+    from outgridvit_tpu.data.corruptions import crosscheck_cifar100c_labels
+
+    # clean CIFAR pickles whose test labels equal the C severity-1 slice
+    c_labels = np.load(fake_c100c / "CIFAR-100-C" / "labels.npy")
+    base = tmp_path / "cifar-100-python"
+    base.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for split, n, labels in (("train", 100, rng.integers(0, 100, 100)),
+                             ("test", 10000, c_labels[:10000])):
+        with open(base / split, "wb") as f:
+            pickle.dump({b"data": rng.integers(0, 255, (n, 3072), dtype=np.uint8),
+                         b"fine_labels": list(map(int, labels))}, f)
+    assert crosscheck_cifar100c_labels(str(fake_c100c), str(tmp_path))
