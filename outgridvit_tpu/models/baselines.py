@@ -160,7 +160,83 @@ def build_baseline(name: str, num_classes: int, dtype=jnp.float32):
     if name in ("vit_micro", "vit_micro_patch4"):
         return DeiT(num_classes=num_classes, patch=4, dim=32, depth=2,
                     num_heads=2, dtype=dtype)
+    if name in ("maxvit_nano",):
+        return MaxViTNano(num_classes=num_classes, dtype=dtype)
     raise ValueError(
         f"Unknown baseline '{name}'. Available: resnet18_cifar, "
-        f"deit_tiny_patch4, deit_small_patch4, vit_micro_patch4"
+        f"deit_tiny_patch4, deit_small_patch4, vit_micro_patch4, maxvit_nano"
     )
+
+
+class _MaxViTBlock(nn.Module):
+    """MBConv (optional stride-2) -> window attention -> grid attention,
+    each with pre-LN residual — the MaxViT unit the reference benchmarks via
+    timm (`train_cifar32_baselines.py:62-111`)."""
+
+    in_ch: int
+    dim: int
+    num_heads: int
+    window_size: int
+    grid_size: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, deterministic: bool = True):
+        from outgridvit_tpu.models.blocks import GridAttention2D, WindowAttention2D
+        from outgridvit_tpu.models.layers import ChannelMLP, LayerNorm, MBConv
+        from outgridvit_tpu.stage_config import MBConvConfig
+
+        x = MBConv(in_ch=self.in_ch, out_ch=self.dim, stride=self.stride,
+                   cfg=MBConvConfig(), dtype=self.dtype, name="mbconv")(
+            x, train=train, deterministic=deterministic)
+        y = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_w")(x)
+        y = WindowAttention2D(dim=self.dim, num_heads=self.num_heads,
+                              window_size=self.window_size, dtype=self.dtype,
+                              name="window_attn")(y, deterministic=deterministic)
+        x = x + y
+        y = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_g")(x)
+        y = GridAttention2D(dim=self.dim, num_heads=self.num_heads,
+                            grid_size=self.grid_size, dtype=self.dtype,
+                            name="grid_attn")(y, deterministic=deterministic)
+        x = x + y
+        y = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_m")(x)
+        y = ChannelMLP(dim=self.dim, dtype=self.dtype, name="mlp")(
+            y, deterministic=deterministic)
+        return x + y
+
+
+class MaxViTNano(nn.Module):
+    """Compact MaxViT for the 32px comparison harness."""
+
+    num_classes: int = 100
+    stem_dim: int = 48
+    dims: tuple = (48, 96, 192)
+    depths: tuple = (1, 2, 2)
+    window_size: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False,
+                 deterministic: Optional[bool] = None, capture: bool = False):
+        if deterministic is None:
+            deterministic = not train
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.stem_dim, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="stem")(x)
+        x = BatchNorm(name="stem_bn")(x, use_running_average=not train)
+        x = nn.gelu(x, approximate=False)
+        in_ch = self.stem_dim
+        for si, (dim, depth) in enumerate(zip(self.dims, self.depths)):
+            for bi in range(depth):
+                stride = 2 if (bi == 0 and si > 0) else 1
+                H = x.shape[1] // stride
+                x = _MaxViTBlock(
+                    in_ch=in_ch, dim=dim, num_heads=max(2, dim // 32),
+                    window_size=min(self.window_size, H),
+                    grid_size=min(self.window_size, H), stride=stride,
+                    dtype=self.dtype, name=f"stages_{si}_{bi}")(
+                    x, train=train, deterministic=deterministic)
+                in_ch = dim
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)

@@ -426,3 +426,39 @@ class StageOutThenGrid(nn.Module):
                               dtype=self.dtype, name=f"blocks_{i}")(
                 x, train=train, deterministic=deterministic, capture=capture)
         return x
+
+
+class WindowAttention2D(nn.Module):
+    """MaxViT-style block (window) attention: contiguous w x w windows,
+    NHWC in/out — the local counterpart of :class:`GridAttention2D`. The
+    reference config reserves ``window_size`` but restricts mode to "grid"
+    (`grid_attention.py:101-102`); here the mode is implemented, sharing the
+    same fused MHSA core."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    use_pallas: Optional[bool] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, capture: bool = False):
+        from outgridvit_tpu.ops.grid import window_partition, window_unpartition
+
+        if x.ndim != 4:
+            raise ValueError(f"Expected NHWC. Got {tuple(x.shape)}")
+        B, H, W, C = x.shape
+        if C != self.dim:
+            raise ValueError(f"Expected C=={self.dim}. Got C={C}")
+        wins, meta = window_partition(x, self.window_size)
+        Bw, wh, ww, _ = wins.shape
+        tokens = wins.reshape(Bw, wh * ww, C)
+        tokens = MultiHeadSelfAttention(
+            dim=C, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop, proj_drop=self.proj_drop,
+            use_pallas=self.use_pallas, dtype=self.dtype, name="mhsa",
+        )(tokens, deterministic=deterministic, capture=capture)
+        return window_unpartition(tokens.reshape(Bw, wh, ww, C), meta)

@@ -53,3 +53,34 @@ def grid_unpartition(grids: jnp.ndarray, meta: tuple) -> jnp.ndarray:
     x = grids.reshape(B, g, g, Hg, Wg, C)
     x = jnp.transpose(x, (0, 3, 1, 4, 2, 5)).reshape(B, H, W, C)
     return x
+
+
+def window_partition(x: jnp.ndarray, window_size: int) -> Tuple[jnp.ndarray, tuple]:
+    """[B, H, W, C] -> ([B*nW, w, w, C], meta): contiguous (non-dilated)
+    windows — the MaxViT "block attention" counterpart of
+    :func:`grid_partition`. The reference carries a ``window_size`` config
+    field but never implements the mode (`grid_attention.py:101-102`); here
+    it is first-class."""
+    if x.ndim != 4:
+        raise ValueError(f"Expected x.ndim==4 (BHWC). Got shape {tuple(x.shape)}")
+    B, H, W, C = x.shape
+    w = window_size
+    if w <= 0:
+        raise ValueError("window_size must be > 0")
+    if (H % w) != 0 or (W % w) != 0:
+        raise ValueError(
+            f"H and W must be divisible by window_size. Got H={H}, W={W}, w={w}"
+        )
+    Hb, Wb = H // w, W // w
+    x = x.reshape(B, Hb, w, Wb, w, C)
+    wins = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(B * Hb * Wb, w, w, C)
+    return wins, (B, H, W, C, w)
+
+
+def window_unpartition(wins: jnp.ndarray, meta: tuple) -> jnp.ndarray:
+    """Inverse of :func:`window_partition`."""
+    B, H, W, C, w = meta
+    Hb, Wb = H // w, W // w
+    x = wins.reshape(B, Hb, Wb, w, w, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(B, H, W, C)
+    return x

@@ -159,3 +159,26 @@ def test_cifar100c_label_crosscheck(fake_c100c, tmp_path):
             pickle.dump({b"data": rng.integers(0, 255, (n, 3072), dtype=np.uint8),
                          b"fine_labels": list(map(int, labels))}, f)
     assert crosscheck_cifar100c_labels(str(fake_c100c), str(tmp_path))
+
+
+def test_window_partition_roundtrip_and_maxvit():
+    import jax
+    import jax.numpy as jnp
+
+    from outgridvit_tpu.ops.grid import window_partition, window_unpartition
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 6))
+    wins, meta = window_partition(x, 4)
+    assert wins.shape == (2 * 4, 4, 4, 6)
+    # windows are CONTIGUOUS patches (not dilated like grid_partition)
+    np.testing.assert_array_equal(np.asarray(wins[0]), np.asarray(x[0, :4, :4]))
+    y = window_unpartition(wins, meta)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    from outgridvit_tpu.models.baselines import build_baseline
+
+    model = build_baseline("maxvit_nano", 10)
+    xin = jnp.zeros((2, 16, 16, 3))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), xin)
+    logits = model.apply(variables, xin)
+    assert logits.shape == (2, 10)
