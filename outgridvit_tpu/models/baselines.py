@@ -162,9 +162,12 @@ def build_baseline(name: str, num_classes: int, dtype=jnp.float32):
                     num_heads=2, dtype=dtype)
     if name in ("maxvit_nano",):
         return MaxViTNano(num_classes=num_classes, dtype=dtype)
+    if name in ("swin_tiny", "swin_tiny_patch2"):
+        return SwinTiny(num_classes=num_classes, dtype=dtype)
     raise ValueError(
         f"Unknown baseline '{name}'. Available: resnet18_cifar, "
-        f"deit_tiny_patch4, deit_small_patch4, vit_micro_patch4, maxvit_nano"
+        f"deit_tiny_patch4, deit_small_patch4, vit_micro_patch4, "
+        f"maxvit_nano, swin_tiny_patch2"
     )
 
 
@@ -238,5 +241,129 @@ class MaxViTNano(nn.Module):
                     dtype=self.dtype, name=f"stages_{si}_{bi}")(
                     x, train=train, deterministic=deterministic)
                 in_ch = dim
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)
+
+
+class _SwinBlock(nn.Module):
+    """Swin transformer block: (optionally shifted) window MHSA + MLP.
+
+    Shifted windows are implemented with a cyclic roll and an additive
+    attention mask that blocks cross-boundary pairs (Swin's standard
+    efficient formulation)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    shift: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        import jax
+        import numpy as onp
+
+        from outgridvit_tpu.models.layers import ChannelMLP, LayerNorm
+        from outgridvit_tpu.ops.grid import window_partition, window_unpartition
+
+        B, H, W, C = x.shape
+        w = self.window_size
+        s = self.shift
+        heads = self.num_heads
+        hd = C // heads
+
+        y = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        if s > 0:
+            y = jnp.roll(y, shift=(-s, -s), axis=(1, 2))
+        wins, meta = window_partition(y, w)
+        Bw, _, _, _ = wins.shape
+        N = w * w
+        tokens = wins.reshape(Bw, N, C)
+
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(tokens)
+        qkv = qkv.reshape(Bw, N, 3, heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                            preferred_element_type=jnp.float32) * hd**-0.5
+
+        if s > 0:
+            # static region-id mask: tokens from different pre-roll regions
+            # must not attend to each other
+            region = onp.zeros((H, W), onp.int32)
+            rid = 0
+            for hs in (slice(0, H - w), slice(H - w, H - s), slice(H - s, H)):
+                for ws_ in (slice(0, W - w), slice(W - w, W - s), slice(W - s, W)):
+                    region[hs, ws_] = rid
+                    rid += 1
+            region = onp.roll(region, (-s, -s), axis=(0, 1))
+            Hb, Wb = H // w, W // w
+            region = region.reshape(Hb, w, Wb, w).transpose(0, 2, 1, 3)
+            region = region.reshape(Hb * Wb, N)  # [nW, N]
+            mask = (region[:, :, None] != region[:, None, :])
+            mask = jnp.asarray(onp.where(mask, -1e30, 0.0), jnp.float32)
+            nW = Hb * Wb
+            logits = logits.reshape(Bw // nW, nW, heads, N, N) + mask[None, :, None]
+            logits = logits.reshape(Bw, heads, N, N)
+
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(x.dtype), v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out.reshape(Bw, N, C))
+        y = window_unpartition(out.reshape(Bw, w, w, C), meta)
+        if s > 0:
+            y = jnp.roll(y, shift=(s, s), axis=(1, 2))
+        x = x + y
+
+        from outgridvit_tpu.models.layers import LayerNorm as _LN
+
+        y = _LN(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = ChannelMLP(dim=C, dtype=self.dtype, name="mlp")(
+            y, deterministic=deterministic)
+        return x + y
+
+
+class SwinTiny(nn.Module):
+    """Swin-style hierarchical transformer for the small-image comparison
+    harness (the reference benchmarks timm's Swin-T with patch-2 surgery,
+    `train_cifar32_baselines.py:62-86`): patch embed -> stages of
+    [window, shifted-window] blocks with patch-merging downsampling."""
+
+    num_classes: int = 100
+    patch: int = 2
+    dims: tuple = (96, 192, 384)
+    depths: tuple = (2, 2, 4)
+    window_size: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False,
+                 deterministic: Optional[bool] = None, capture: bool = False):
+        from outgridvit_tpu.models.layers import LayerNorm
+
+        if deterministic is None:
+            deterministic = not train
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.dims[0], (self.patch,) * 2,
+                    strides=(self.patch,) * 2, dtype=self.dtype,
+                    name="patch_embed")(x)
+        for si, (dim, depth) in enumerate(zip(self.dims, self.depths)):
+            if si > 0:
+                # patch merging: 2x2 space-to-depth + linear reduction
+                B, H, W, C = x.shape
+                x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+                x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+                    B, H // 2, W // 2, 4 * C)
+                x = LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              name=f"merge_norm_{si}")(x)
+                x = nn.Dense(dim, use_bias=False, dtype=self.dtype,
+                             name=f"merge_{si}")(x)
+            w = min(self.window_size, x.shape[1])
+            for bi in range(depth):
+                shift = (w // 2) if (bi % 2 == 1 and x.shape[1] > w) else 0
+                x = _SwinBlock(dim=dim, num_heads=max(2, dim // 32),
+                               window_size=w, shift=shift, dtype=self.dtype,
+                               name=f"stages_{si}_{bi}")(
+                    x, deterministic=deterministic)
+        x = LayerNorm(epsilon=1e-5, name="norm")(x)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)

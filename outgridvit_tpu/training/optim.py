@@ -81,3 +81,17 @@ def make_optimizer(
         )
     )
     return optax.chain(*chain)
+
+
+def seed_everything(seed: int, deterministic: bool = False) -> None:
+    """Host-side RNG seeding for reproducible data pipelines (the reference's
+    `seed_everything`, `src/training/autocast.py:8-17`). Device-side
+    randomness in this framework is fully keyed (`jax.random`), so only the
+    python/numpy generators used by host code need seeding; ``deterministic``
+    is accepted for signature parity (XLA is deterministic by default)."""
+    import random
+
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed)
