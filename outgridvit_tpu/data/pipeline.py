@@ -59,8 +59,16 @@ class ArrayDataLoader:
         self.num_threads = num_threads
         self.lookahead = lookahead
         self.epoch = 0
+        self._pool = None  # persistent transform pool, created lazily
         if self.n == 0:
             raise ValueError("empty dataset")
+
+    def __del__(self):  # pragma: no cover
+        try:
+            if getattr(self, "_pool", None) is not None:
+                self._pool.shutdown(wait=False, cancel_futures=True)
+        except Exception:
+            pass  # interpreter teardown: module globals may be gone
 
     # reference trainer duck-types sampler.set_epoch (train_full_model.py:152)
     class _Sampler:
@@ -99,8 +107,9 @@ class ArrayDataLoader:
             return self.transform(np.asarray(self.images[i]), rng)
 
         if self.num_threads > 1 and len(idxs) > 1:
-            with ThreadPoolExecutor(self.num_threads) as ex:
-                xs = list(ex.map(one, idxs))
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(self.num_threads)
+            xs = list(self._pool.map(one, idxs))
         else:
             xs = [one(i) for i in idxs]
         return np.stack(xs), ys

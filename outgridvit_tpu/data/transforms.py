@@ -126,6 +126,9 @@ _RA_FNS = {
 }
 
 
+_RA_SPACE_CACHE: dict = {}
+
+
 def rand_augment(
     img: np.ndarray,
     rng: np.random.Generator,
@@ -134,7 +137,10 @@ def rand_augment(
 ) -> np.ndarray:
     """torchvision-style RandAugment: ``num_ops`` ops sampled uniformly from
     the 14-op space at fixed ``magnitude`` (bin of 31), signs randomized."""
-    space = _ra_space(_NUM_BINS, img.shape[1])
+    size = img.shape[1]
+    space = _RA_SPACE_CACHE.get(size)
+    if space is None:
+        space = _RA_SPACE_CACHE.setdefault(size, _ra_space(_NUM_BINS, size))
     names = list(space.keys())
     im = Image.fromarray(img)
     for _ in range(num_ops):

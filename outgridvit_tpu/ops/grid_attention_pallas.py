@@ -191,6 +191,11 @@ def _fwd(qkv, heads):
         ],
         out_specs=pl.BlockSpec((gt, PN, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * G * PN * PN * hd * heads,
+            bytes_accessed=G * PN * 4 * C * qkv.dtype.itemsize,
+            transcendentals=G * PN * PN * heads,
+        ),
     )(mask, qkv2)
     return out2.reshape(Bgrp, N, C)
 
@@ -228,6 +233,11 @@ def _bwd_vjp(heads, res, do):
         ],
         out_specs=pl.BlockSpec((gt, PN, C3), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * G * PN * PN * hd * heads,
+            bytes_accessed=G * PN * 8 * C * qkv.dtype.itemsize,
+            transcendentals=G * PN * PN * heads,
+        ),
     )(mask, qkv2, do2)
     return (dqkv.reshape(Bgrp, N, C3),)
 

@@ -234,9 +234,14 @@ def train_model(
             step_metrics.append(m)
             total += batch[1].shape[0]
             if print_every and (step % print_every == 0 or step == nsteps):
-                # fetch only at print boundaries to keep dispatch async
+                # fetch only at print boundaries to keep dispatch async;
+                # skipped (non-finite) steps are excluded from the means,
+                # matching the reference's running averages
+                # (`one_epoch_train.py:99-108,156`)
+                finite_ms = [s for s in step_metrics
+                             if float(s["nonfinite"]) == 0.0] or step_metrics
                 mm = {
-                    k: float(np.mean([float(s[k]) for s in step_metrics]))
+                    k: float(np.mean([float(s[k]) for s in finite_ms]))
                     for k in ("loss", "top1", "top3", "top5", "grad_norm")
                 }
                 oflow = int(sum(float(s["nonfinite"]) for s in step_metrics))
@@ -259,8 +264,10 @@ def train_model(
             jax.profiler.stop_trace()
             print(f"[profile] wrote jax trace to {profile_dir}")
 
+        finite_ms = [s for s in step_metrics
+                     if float(s["nonfinite"]) == 0.0] or step_metrics
         tr = {
-            k: float(np.mean([float(s[k]) for s in step_metrics]))
+            k: float(np.mean([float(s[k]) for s in finite_ms]))
             for k in ("loss", "top1", "top3", "top5", "grad_norm", "clipped")
         }
         nonfinite_steps = int(sum(float(s["nonfinite"]) for s in step_metrics))
