@@ -9,10 +9,12 @@ and K^2 shifted slices in HBM. This kernel fuses everything for a batch tile:
   a = softmax(logits) over the K^2 taps (fp32, in registers)
   y[p] = sum_taps a[p, tap] * v[p + offset(tap)]      (zero-padded borders)
 
-Shifts are expressed as zero-concatenations along H/W on the VMEM-resident
-tile, so no halo exchange or HBM intermediate exists. Backward (custom_vjp)
-recomputes ``a`` and produces dv (inverse shifts of a*dy) and dlogits
-(softmax VJP) in one kernel.
+Shifts are circular rolls on the VMEM-resident tile with border masks folded
+into the per-tap weights (zero-pad semantics; Mosaic cannot concatenate with
+offsets on non-concat dims), so no halo exchange or HBM intermediate exists.
+Backward is derived with ``jax.vjp`` through an equivalent XLA forward — a
+fully in-kernel backward was measured VMEM-hostile (per-tap [bt,H,W,1] maps
+pad lanes to 128).
 
 Supports stride == 1 (the only stride the shipped models use); the module
 falls back to the XLA path otherwise.
