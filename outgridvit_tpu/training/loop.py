@@ -224,31 +224,44 @@ def train_model(
 
         # ---------------- train epoch
         t0 = time.time()
-        step_metrics = []
+        device_metrics = []  # not-yet-fetched device-side step metrics
+        host_metrics = []  # fetched plain-float dicts
         total = 0
         nsteps = len(train_loader)
+
+        def drain():
+            # ONE bulk device->host transfer; per-scalar float() costs a
+            # round trip each, which is ruinous over remote-device links
+            nonlocal device_metrics
+            if device_metrics:
+                fetched = jax.device_get(device_metrics)
+                host_metrics.extend(
+                    {k: float(v) for k, v in d.items()} for d in fetched
+                )
+                device_metrics = []
+
         for step, batch in enumerate(
             Prefetcher(iter(train_loader), sharding=data_shard), start=1
         ):
             state, m = train_step(state, batch, base_rng)
-            step_metrics.append(m)
+            device_metrics.append(m)
             total += batch[1].shape[0]
             if print_every and (step % print_every == 0 or step == nsteps):
-                # fetch only at print boundaries to keep dispatch async;
+                drain()
                 # skipped (non-finite) steps are excluded from the means,
                 # matching the reference's running averages
                 # (`one_epoch_train.py:99-108,156`)
-                finite_ms = [s for s in step_metrics
-                             if float(s["nonfinite"]) == 0.0] or step_metrics
+                finite_ms = [s for s in host_metrics
+                             if s["nonfinite"] == 0.0] or host_metrics
                 mm = {
-                    k: float(np.mean([float(s[k]) for s in finite_ms]))
+                    k: float(np.mean([s[k] for s in finite_ms]))
                     for k in ("loss", "top1", "top3", "top5", "grad_norm")
                 }
-                oflow = int(sum(float(s["nonfinite"]) for s in step_metrics))
+                oflow = int(sum(s["nonfinite"] for s in host_metrics))
                 clip_pct = 100.0 * float(
-                    np.mean([float(s["clipped"]) for s in step_metrics])
+                    np.mean([s["clipped"] for s in host_metrics])
                 )
-                lr_now = float(step_metrics[-1]["lr"])
+                lr_now = host_metrics[-1]["lr"]
                 dt = time.time() - t0
                 print(
                     f"[train step {step}/{nsteps}] "
@@ -264,14 +277,15 @@ def train_model(
             jax.profiler.stop_trace()
             print(f"[profile] wrote jax trace to {profile_dir}")
 
-        finite_ms = [s for s in step_metrics
-                     if float(s["nonfinite"]) == 0.0] or step_metrics
+        drain()
+        finite_ms = [s for s in host_metrics
+                     if s["nonfinite"] == 0.0] or host_metrics
         tr = {
-            k: float(np.mean([float(s[k]) for s in finite_ms]))
+            k: float(np.mean([s[k] for s in finite_ms]))
             for k in ("loss", "top1", "top3", "top5", "grad_norm", "clipped")
         }
-        nonfinite_steps = int(sum(float(s["nonfinite"]) for s in step_metrics))
-        lr_now = float(step_metrics[-1]["lr"])
+        nonfinite_steps = int(sum(s["nonfinite"] for s in host_metrics))
+        lr_now = host_metrics[-1]["lr"]
         mem_gib = _device_mem_gib()
 
         history["train_loss"].append(tr["loss"])
