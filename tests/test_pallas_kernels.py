@@ -74,3 +74,18 @@ def test_mhsa_module_pallas_param_compat():
     out_xla = m_xla.apply(v_xla, x)
     np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("Bgrp,N,C,heads", [
+    (256, 64, 64, 2),    # 64px stage-0 shape (N=64, P=1)
+    (128, 16, 384, 6),   # wide-C deep-stage shape
+    (64, 4, 256, 8),     # tiny-N wide-C (packs to 32 rows)
+])
+def test_grid_mhsa_pallas_more_shapes(Bgrp, N, C, heads):
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (Bgrp, N, 3 * C),
+                            jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = grid_mhsa_pallas(qkv, heads)
+    want = _xla_ref(qkv, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
