@@ -70,23 +70,29 @@ def evaluate_one_epoch_logs(
     if model_fn is not None and example_batch is not None:
         flops = flops_of(model_fn, example_batch)
 
-    totals = {"loss": 0.0, "top1": 0.0, "top3": 0.0, "top5": 0.0}
-    n = 0
+    device_metrics = []
+    sizes = []
     batch_times = []
     t_epoch0 = time.perf_counter()
     for bi, batch in enumerate(Prefetcher(iter(loader), sharding=data_shard)):
         t0 = time.perf_counter()
         m = eval_step(state.params, state.batch_stats, batch)
-        loss = float(m["loss"])  # blocks: device-synced timing
+        float(m["loss"])  # blocks: device-synced ms/batch timing
         t1 = time.perf_counter()
-        b = batch[1].shape[0]
-        totals["loss"] += loss * b
-        for k in ("top1", "top3", "top5"):
-            totals[k] += float(m[k]) * b
-        n += b
+        device_metrics.append(m)
+        sizes.append(batch[1].shape[0])
         if bi >= warmup_batches:
             batch_times.append(t1 - t0)
     epoch_s = time.perf_counter() - t_epoch0
+
+    # top-k stay device-side during the loop; one bulk fetch afterwards
+    # (per-scalar float() is a host round trip each, see loop.drain())
+    fetched = jax.device_get(device_metrics)
+    n = int(sum(sizes))
+    totals = {
+        k: sum(float(d[k]) * b for d, b in zip(fetched, sizes))
+        for k in ("loss", "top1", "top3", "top5")
+    }
 
     try:
         stats = jax.local_devices()[0].memory_stats()

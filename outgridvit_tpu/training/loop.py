@@ -394,13 +394,21 @@ def train_model(
 
 def _run_eval(eval_step, state, loader, data_shard=None):
     """Weighted-average eval over a loader (reference
-    `one_epoch_train.py:209-259`)."""
-    totals = {"loss": 0.0, "top1": 0.0, "top3": 0.0, "top5": 0.0}
-    n = 0
+    `one_epoch_train.py:209-259`).
+
+    Metrics stay device-side during the epoch; one bulk ``jax.device_get``
+    fetches them all (per-batch ``float()`` costs a host round trip each,
+    ruinous over remote-device links — same fix as the train loop's drain)."""
+    device_metrics = []
+    sizes = []
     for batch in Prefetcher(iter(loader), sharding=data_shard):
-        m = eval_step(state.params, state.batch_stats, batch)
-        b = batch[1].shape[0]
-        for k in totals:
-            totals[k] += float(m[k]) * b
-        n += b
-    return {k: v / max(1, n) for k, v in totals.items()}
+        device_metrics.append(eval_step(state.params, state.batch_stats, batch))
+        sizes.append(batch[1].shape[0])
+    if not device_metrics:
+        return {"loss": 0.0, "top1": 0.0, "top3": 0.0, "top5": 0.0}
+    fetched = jax.device_get(device_metrics)
+    n = float(sum(sizes))
+    return {
+        k: sum(float(d[k]) * b for d, b in zip(fetched, sizes)) / max(1.0, n)
+        for k in ("loss", "top1", "top3", "top5")
+    }

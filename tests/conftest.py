@@ -25,6 +25,39 @@ jax.config.update("jax_platforms", "cpu")
 # in the suite (models pick their own compute dtype in production).
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: re-running the suite reuses compiled XLA
+# programs from previous runs (first run pays full compile cost).
+_CACHE_DIR = os.environ.get("OUTGRIDVIT_JAX_CACHE", "/tmp/outgridvit_jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # older jax without these knobs
+    pass
+
 ROOT = Path(__file__).resolve().parents[1]
 if str(ROOT) not in sys.path:
     sys.path.insert(0, str(ROOT))
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked slow")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running test (heavy parity / multi-mesh); "
+        "opt in with --runslow or RUN_SLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow: use --runslow (or RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

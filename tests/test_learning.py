@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from outgridvit_tpu.models import MaxOutNet
 from outgridvit_tpu.stage_config import StageCfg
@@ -12,6 +13,7 @@ from outgridvit_tpu.training.steps import StepConfig, make_eval_step, make_train
 from outgridvit_tpu.training.train_state import TrainState
 
 
+@pytest.mark.slow
 def test_overfits_tiny_dataset():
     num_classes = 4
     stages = (

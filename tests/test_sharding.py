@@ -81,6 +81,7 @@ def test_dp_tp_train_step_runs():
     assert float(m["loss"]) > 0.0
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device():
     # the same batch through a 1-device and an 8-device mesh must give the
     # same loss (GSPMD global-batch semantics, incl. BatchNorm stats)
@@ -101,12 +102,14 @@ def test_dp_matches_single_device():
     assert losses[0] == pytest.approx(losses[1], rel=1e-5)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_tp_matches_dp_numerically():
     # tensor-parallel sharding must not change the math: same batch, same
     # params -> same loss on a pure-DP mesh and a DPxTP mesh

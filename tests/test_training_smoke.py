@@ -155,11 +155,15 @@ def test_log_line_format_matches_reference(capsys):
     import tempfile, os
 
     with tempfile.TemporaryDirectory() as d:
+        # same model/loader/mixing config as test_train_one_epoch_smoke so
+        # the jitted train/eval programs come from the compilation cache
         train_model(
             model=model, train_loader=train_loader, epochs=1,
             val_loader=train_loader, use_amp=False, print_every=2,
             save_path=os.path.join(d, "b.ckpt"),
             last_path=os.path.join(d, "l.ckpt"),
+            mixup_alpha=0.2, cutmix_alpha=1.0, mix_prob=0.5,
+            grad_clip_norm=1.0,
             num_classes=10, early_stop=False, seed=0)
     out = capsys.readouterr().out
     assert re.search(
