@@ -160,14 +160,16 @@ def build_baseline(name: str, num_classes: int, dtype=jnp.float32):
     if name in ("vit_micro", "vit_micro_patch4"):
         return DeiT(num_classes=num_classes, patch=4, dim=32, depth=2,
                     num_heads=2, dtype=dtype)
-    if name in ("maxvit_nano",):
+    if name in ("maxvit_nano", "maxvit_nano_cifar"):
         return MaxViTNano(num_classes=num_classes, dtype=dtype)
+    if name in ("maxvit_tiny", "maxvit_tiny_cifar"):
+        return MaxViTTiny(num_classes=num_classes, dtype=dtype)
     if name in ("swin_tiny", "swin_tiny_patch2"):
         return SwinTiny(num_classes=num_classes, dtype=dtype)
     raise ValueError(
         f"Unknown baseline '{name}'. Available: resnet18_cifar, "
         f"deit_tiny_patch4, deit_small_patch4, vit_micro_patch4, "
-        f"maxvit_nano, swin_tiny_patch2"
+        f"maxvit_nano, maxvit_tiny, swin_tiny_patch2"
     )
 
 
@@ -234,6 +236,49 @@ class MaxViTNano(nn.Module):
             for bi in range(depth):
                 stride = 2 if (bi == 0 and si > 0) else 1
                 H = x.shape[1] // stride
+                x = _MaxViTBlock(
+                    in_ch=in_ch, dim=dim, num_heads=max(2, dim // 32),
+                    window_size=min(self.window_size, H),
+                    grid_size=min(self.window_size, H), stride=stride,
+                    dtype=self.dtype, name=f"stages_{si}_{bi}")(
+                    x, train=train, deterministic=deterministic)
+                in_ch = dim
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)
+
+
+class MaxViTTiny(nn.Module):
+    """MaxViT-T for the 32px comparison harness — the reference benchmarks
+    timm's ``maxvit_tiny_tf_224`` with a CIFAR stem surgery (both stem convs
+    3x3 stride-1, `train_cifar32_baselines.py:61-87`): dims 64/128/256/512,
+    depths 2/2/5/2, stride-2 MBConv at the first block of every stage."""
+
+    num_classes: int = 100
+    stem_dim: int = 64
+    dims: tuple = (64, 128, 256, 512)
+    depths: tuple = (2, 2, 5, 2)
+    window_size: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False,
+                 deterministic: Optional[bool] = None, capture: bool = False):
+        if deterministic is None:
+            deterministic = not train
+        x = x.astype(self.dtype)
+        # CIFAR stem surgery: two 3x3 stride-1 convs (timm's stem is
+        # conv1 s2 + conv2 s1; the reference rewrites both to s1/pad1)
+        x = nn.Conv(self.stem_dim, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="stem_conv1")(x)
+        x = BatchNorm(name="stem_bn1")(x, use_running_average=not train)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(self.stem_dim, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="stem_conv2")(x)
+        in_ch = self.stem_dim
+        for si, (dim, depth) in enumerate(zip(self.dims, self.depths)):
+            for bi in range(depth):
+                stride = 2 if bi == 0 else 1  # every stage downsamples first
+                H = max(1, x.shape[1] // stride)
                 x = _MaxViTBlock(
                     in_ch=in_ch, dim=dim, num_heads=max(2, dim // 32),
                     window_size=min(self.window_size, H),

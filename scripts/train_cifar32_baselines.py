@@ -21,8 +21,12 @@ if str(ROOT) not in sys.path:
 def parse_args():
     ap = argparse.ArgumentParser(description="CIFAR-32 baseline comparisons")
     ap.add_argument("--models", nargs="+",
-                    default=["resnet18_cifar", "deit_tiny_patch4"],
-                    help="baseline names (see models/baselines.py)")
+                    default=["deit_tiny_patch4", "deit_small_patch4",
+                             "swin_tiny_patch2", "maxvit_nano_cifar",
+                             "maxvit_tiny_cifar", "resnet18_cifar"],
+                    help="baseline names (see models/baselines.py); default "
+                         "matches the reference's six-model comparison set "
+                         "(train_cifar32_baselines.py:138)")
     ap.add_argument("--dataset", default="cifar100")
     ap.add_argument("--data-dir", default="./data")
     ap.add_argument("--epochs", type=int, default=100)

@@ -184,6 +184,24 @@ def test_window_partition_roundtrip_and_maxvit():
     assert logits.shape == (2, 10)
 
 
+def test_maxvit_tiny_baseline_forward():
+    import jax
+    import jax.numpy as jnp
+
+    from outgridvit_tpu.models.baselines import build_baseline
+
+    # scale down to smoke size: same 4-stage/every-stage-downsamples topology
+    model = build_baseline("maxvit_tiny", 10)
+    model = model.clone(dims=(8, 16, 16, 32), depths=(1, 1, 1, 1), stem_dim=8)
+    x = jnp.zeros((2, 16, 16, 3))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    logits = model.apply(variables, x)
+    assert logits.shape == (2, 10)
+    assert bool(jnp.isfinite(logits).all())
+    # stride-2 MBConv at the first block of EVERY stage: 16 -> 1 after 4 stages
+    # (smoke-checks the timm maxvit_tiny_tf stage layout the reference uses)
+
+
 def test_swin_baseline_forward_and_mask_semantics():
     import jax
     import jax.numpy as jnp
