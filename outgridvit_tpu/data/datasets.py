@@ -210,6 +210,21 @@ def get_svhn_dataloaders(
 
 # ------------------------------------------------------- Tiny-ImageNet-200
 
+def _load_hf_dataset(hf_name: str, data_dir: str):
+    """Load a HuggingFace dataset offline-first: a ``save_to_disk`` directory
+    under ``data_dir`` (named after the dataset, or ``data_dir`` itself) wins
+    over the hub cache — this machine has no network egress, so provisioning
+    drops a `DatasetDict.save_to_disk` tree (see scripts/prepare_data.py)."""
+    import datasets as hf_datasets
+
+    root = Path(data_dir)
+    for cand in (root / hf_name.replace("/", "___"),
+                 root / hf_name.split("/")[-1], root):
+        if (cand / "dataset_dict.json").exists():
+            return hf_datasets.load_from_disk(str(cand))
+    return hf_datasets.load_dataset(hf_name, cache_dir=str(data_dir))
+
+
 class _HFImageView:
     """Lazy uint8 view over a HuggingFace image dataset split."""
 
@@ -245,9 +260,7 @@ def get_tinyimagenet200_hf_dataloaders(
     `src/data/load_tinyimagenet.py:69-160`). val_split > 0 carves val from
     train and the HF 'valid' split becomes the test set."""
     try:
-        import datasets as hf_datasets
-
-        ds = hf_datasets.load_dataset(hf_name, cache_dir=str(data_dir))
+        ds = _load_hf_dataset(hf_name, data_dir)
     except Exception as e:  # offline & uncached
         raise FileNotFoundError(
             f"Tiny-ImageNet HF dataset '{hf_name}' unavailable offline "
@@ -310,14 +323,13 @@ def get_food101_dataloaders(
     """Food-101 via a local HF cache; plain Resize/Normalize only — the
     reference uses no augmentation here (`src/data/load_food101.py:85-90`)."""
     try:
-        import datasets as hf_datasets
-
-        ds = hf_datasets.load_dataset(hf_name, cache_dir=str(data_dir))
+        ds = _load_hf_dataset(hf_name, data_dir)
     except Exception as e:
         raise FileNotFoundError(
             f"Food-101 HF dataset unavailable offline (cache_dir={data_dir}): {e}"
         ) from e
-    train_split, test_split = ds["train"], ds["validation"]
+    train_split = ds["train"]
+    test_split = ds["validation"] if "validation" in ds else ds["test"]
     ytr = np.asarray(train_split["label"], dtype=np.int64)
     yte = np.asarray(test_split["label"], dtype=np.int64)
     return _make_loaders(
@@ -387,8 +399,6 @@ def tinyimagenet_wnid_to_label(
     """wnid -> clean label index map, needed by the Tiny-ImageNet-C
     intersection loaders (reference `load_tinyimagenet.py:29-64` exposes
     class_names from the HF ClassLabel feature)."""
-    import datasets as hf_datasets
-
-    ds = hf_datasets.load_dataset(hf_name, cache_dir=str(data_dir))
+    ds = _load_hf_dataset(hf_name, data_dir)
     names = ds["train"].features["label"].names
     return {wnid: i for i, wnid in enumerate(names)}

@@ -119,3 +119,115 @@ def test_registry_rejects_unknown():
 
     with pytest.raises(ValueError):
         build_dataloaders({"dataset": "mnist"}, 10)
+
+
+def test_prepare_data_verify_registry(tmp_path):
+    """scripts/prepare_data.py --verify-only detects staged vs missing trees
+    (the provisioning hook for the reference's implicit downloads,
+    `load_tinyimagenet_C.py:109-131`)."""
+    import pickle
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1] / "scripts"))
+    import prepare_data
+
+    assert set(prepare_data.DATASETS) == {
+        "cifar100", "svhn", "tinyimagenet", "food101", "cifar100_c",
+        "tinyimagenet_c", "oxford_pets"}
+    ok, _ = prepare_data.DATASETS["cifar100"]["verify"](tmp_path)
+    assert not ok
+    base = tmp_path / "cifar-100-python"
+    base.mkdir()
+    for split in ("train", "test"):
+        with open(base / split, "wb") as f:
+            pickle.dump({b"data": np.zeros((2, 3072), np.uint8),
+                         b"fine_labels": [0, 1]}, f)
+    ok, detail = prepare_data.DATASETS["cifar100"]["verify"](tmp_path)
+    assert ok and str(base) in detail[0]
+
+
+def _fake_hf_image_dataset(n_train, n_test, num_classes, size=12, seed=0,
+                           test_split_name="validation"):
+    import datasets as hf_datasets
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+
+    def split(n):
+        imgs = [Image.fromarray(
+            rng.integers(0, 255, (size, size, 3), dtype=np.uint8))
+            for _ in range(n)]
+        labels = (np.arange(n) % num_classes).tolist()
+        return hf_datasets.Dataset.from_dict(
+            {"image": imgs, "label": labels},
+            features=hf_datasets.Features(
+                {"image": hf_datasets.Image(),
+                 "label": hf_datasets.ClassLabel(
+                     names=[f"c{i}" for i in range(num_classes)])}),
+        )
+
+    return hf_datasets.DatasetDict(
+        {"train": split(n_train), test_split_name: split(n_test)})
+
+
+def test_food101_loader_from_disk_fixture(tmp_path):
+    """Food-101 loader via the offline `save_to_disk` path: no-aug recipe
+    (reference `load_food101.py:85-90`), resize to img_size, float32 NHWC."""
+    from outgridvit_tpu.data.datasets import get_food101_dataloaders
+
+    ds = _fake_hf_image_dataset(12, 8, num_classes=4, size=12)
+    ds.save_to_disk(str(tmp_path / "food101"))
+
+    tr, va, te = get_food101_dataloaders(
+        batch_size=4, data_dir=str(tmp_path), img_size=16, num_workers=1,
+        val_split=0.25)
+    xb, yb = next(iter(tr))
+    assert xb.shape == (4, 16, 16, 3) and xb.dtype == np.float32
+    assert ((0 <= yb) & (yb < 4)).all()
+    assert sum(len(y) for _, y in va) == 3  # 25% of 12
+    assert sum(len(y) for _, y in te) == 8
+    # no-augs: the same index must produce identical pixels across epochs
+    tr.set_epoch(1)
+    a = np.sort(np.concatenate([x.reshape(len(x), -1).sum(1) for x, _ in tr]))
+    tr.set_epoch(2)
+    b = np.sort(np.concatenate([x.reshape(len(x), -1).sum(1) for x, _ in tr]))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_oxfordpets_loader_directory_fixture(tmp_path):
+    """Oxford-IIIT Pets loader on the official directory layout
+    (reference `load_oxfordpets.py:33-54`): images/ + annotations txts,
+    1-indexed class ids, official splits, no augmentation."""
+    from PIL import Image
+
+    from outgridvit_tpu.data.datasets import get_oxfordpets_dataloaders
+
+    base = tmp_path / "oxford-iiit-pet"
+    (base / "images").mkdir(parents=True)
+    (base / "annotations").mkdir()
+    rng = np.random.default_rng(0)
+    trainval, test = [], []
+    for i in range(10):
+        stem = f"Breed_{i}"
+        Image.fromarray(
+            rng.integers(0, 255, (20, 24, 3), dtype=np.uint8)
+        ).save(base / "images" / f"{stem}.jpg")
+        # annotation format: <stem> <class_id 1..K> <species> <breed_id>
+        line = f"{stem} {i % 3 + 1} 1 1"
+        (trainval if i < 6 else test).append(line)
+    # a listed-but-missing image must be skipped, not crash
+    trainval.append("Missing_Image 1 1 1")
+    (base / "annotations" / "trainval.txt").write_text("\n".join(trainval))
+    (base / "annotations" / "test.txt").write_text("\n".join(test))
+
+    tr, va, te = get_oxfordpets_dataloaders(
+        batch_size=3, data_dir=str(tmp_path), img_size=16, num_workers=1)
+    assert va is None
+    xb, yb = next(iter(tr))
+    assert xb.shape == (3, 16, 16, 3) and xb.dtype == np.float32
+    assert ((0 <= yb) & (yb < 3)).all()  # labels shifted to 0-based
+    assert sum(len(y) for _, y in tr) == 6  # missing image skipped
+    assert sum(len(y) for _, y in te) == 4
+
+    with pytest.raises(FileNotFoundError):
+        get_oxfordpets_dataloaders(data_dir=str(tmp_path / "nope"))
