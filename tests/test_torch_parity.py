@@ -71,6 +71,7 @@ def _compare(torch_model, flax_model, img_hw=16, atol=1e-4):
     np.testing.assert_allclose(got, ref, atol=atol, rtol=0)
 
 
+@pytest.mark.slow
 def test_model_a_logits_parity():
     from src.Model_A_OutGridNet import MaxOutNet as RefMaxOutNet
 
@@ -134,6 +135,82 @@ def test_outlook_attention_stride2_parity():
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=1e-5, rtol=0)
 
 
+@pytest.mark.slow
+def test_training_trajectory_parity():
+    """Multi-step TRAINING parity: starting from identical weights and
+    feeding identical batches through the full recipe (label-smoothed CE,
+    grad-clip 1.0, masked AdamW, warmup-cosine LR), the per-step losses of
+    our jitted train step must track a PyTorch reference trainer built from
+    the reference's own pieces (`one_epoch_train.py:88-153`,
+    `train_full_model.py:56-66`). This is the strongest accuracy-recipe
+    evidence available without real datasets on disk (see docs/PARITY.md)."""
+    import torch.nn.functional as F
+
+    from src.Model_A_OutGridNet import MaxOutNet as RefMaxOutNet
+    from src.training.warmup import build_param_groups_no_wd
+
+    from outgridvit_tpu.training.optim import make_optimizer, warmup_cosine_lr
+    from outgridvit_tpu.training.steps import StepConfig, make_train_step
+    from outgridvit_tpu.training.train_state import TrainState
+
+    n_steps, bs, num_classes, ls, wd, clip = 8, 8, 10, 0.1, 0.05, 1.0
+    schedule = warmup_cosine_lr(5e-4, n_steps, 2, 1e-6)
+
+    torch.manual_seed(0)
+    ref = RefMaxOutNet(num_classes=num_classes, stages=_ref_stage_cfgs(STAGES),
+                       in_ch=3, stem_dim=16, dpr_max=0.0)
+    ours = MaxOutNet(num_classes=num_classes, stages=STAGES, in_ch=3,
+                     stem_dim=16, dpr_max=0.0, use_pallas=False)
+
+    rng = np.random.default_rng(7)
+    xs = rng.standard_normal((n_steps, bs, 16, 16, 3)).astype(np.float32)
+    ys = rng.integers(0, num_classes, (n_steps, bs)).astype(np.int64)
+
+    # ---- our side: the real jitted train step (no mixing, no drops)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(xs[0]))
+    variables = port_torch_state_dict(ref.state_dict(), variables)
+    tx = make_optimizer(schedule, wd, clip)
+    state = TrainState.create(apply_fn=ours.apply, params=variables["params"],
+                              batch_stats=variables["batch_stats"], tx=tx)
+    step_fn = make_train_step(
+        StepConfig(num_classes=num_classes, label_smoothing=ls,
+                   mixup_alpha=0.0, cutmix_alpha=0.0, grad_clip_norm=clip))
+    ours_losses = []
+    for i in range(n_steps):
+        state, m = step_fn(state, (jnp.asarray(xs[i]), jnp.asarray(ys[i])),
+                           jax.random.PRNGKey(1))
+        ours_losses.append(float(m["loss"]))
+
+    # ---- torch side: the reference's optimizer construction + step body
+    ref.train()
+    groups = build_param_groups_no_wd(ref, weight_decay=wd)
+    opt = torch.optim.AdamW(groups, lr=5e-4, betas=(0.9, 0.999), eps=1e-8)
+    ref_losses = []
+    for i in range(n_steps):
+        lr_i = float(schedule(i))  # same schedule value both sides
+        for g in opt.param_groups:
+            g["lr"] = lr_i
+        xb = torch.from_numpy(xs[i].transpose(0, 3, 1, 2))
+        yb = torch.from_numpy(ys[i])
+        logits = ref(xb)
+        loss = F.cross_entropy(logits.float(), yb, label_smoothing=ls)
+        opt.zero_grad(set_to_none=True)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), clip)
+        opt.step()
+        ref_losses.append(float(loss.detach()))
+
+    np.testing.assert_allclose(ours_losses, ref_losses, atol=5e-4, rtol=0)
+    # after N identical updates the weights must still agree closely
+    variables_end = {"params": state.params, "batch_stats": state.batch_stats}
+    got = np.asarray(ours.apply(variables_end, jnp.asarray(xs[0])))
+    ref.eval()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(xs[0].transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=0)
+
+
+@pytest.mark.slow
 def test_model_a_train_mode_forward_parity():
     """Train-mode forward (BatchNorm batch statistics) must also match —
     this locks the training-path math, not just eval."""
