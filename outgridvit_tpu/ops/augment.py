@@ -1,0 +1,357 @@
+"""Device-side (in-jit) batched image augmentation.
+
+TPU-first replacement for the host augmentation pipeline: the reference runs
+torchvision transforms in DataLoader worker processes
+(`src/data/load_cifrar100.py:44-60`); on a weak host that caps end-to-end
+training far below the device's step rate. Here the whole train recipe —
+RandomCrop(pad), RandomHorizontalFlip, RandAugment(num_ops, magnitude),
+Normalize, RandomErasing — runs inside the jitted train step on the
+already-transferred uint8 batch, so the host only slices raw arrays (and the
+H2D transfer shrinks 4x: uint8 instead of float32).
+
+Semantics mirror `outgridvit_tpu.data.transforms` (the host/PIL
+implementation, itself matching torchvision) including PIL's exact integer
+conventions, calibrated op by op:
+
+- affine resampling (shear/translate/rotate): input = floor(M @ (out + 0.5)),
+  NEAREST, zero fill; rotate about (W/2, H/2).
+- grayscale: L = (19595 R + 38470 G + 7471 B + 0x8000) >> 16.
+- enhance blends (brightness/color/contrast/sharpness): float blend with the
+  degenerate image, truncated (floor) then clipped to [0, 255]; sharpness'
+  degenerate is the 3x3 smooth filter ([1,1,1;1,5,1;1,1,1]/13) rounded, with
+  the one-pixel border kept from the original.
+- contrast mean: int(mean(L) + 0.5) over the image.
+- autocontrast: per-channel lut floor(i * 255/(hi-lo) - lo * 255/(hi-lo)).
+- equalize: PIL's integer lut ((step//2 + cumsum h) // step).
+- posterize/solarize: bitmask / conditional invert (exact).
+
+Randomness is `jax.random`-keyed per step; the op/sign/magnitude sampling
+distributions match the host recipe (uniform over the 14-op space, p=0.5
+sign, fixed magnitude bin of 31).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outgridvit_tpu.data.transforms import _NUM_BINS, _ra_space
+
+# op ids follow the host-space dict order (data/transforms.py:_ra_space)
+_OP_NAMES = (
+    "Identity", "ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate",
+    "Brightness", "Color", "Contrast", "Sharpness", "Posterize", "Solarize",
+    "AutoContrast", "Equalize",
+)
+_GEO_OPS = ("ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate")
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """Everything the device needs to run the train recipe on raw uint8."""
+
+    mean: Tuple[float, float, float]
+    std: Tuple[float, float, float]
+    crop_pad: int
+    ra_num_ops: int = 2
+    ra_magnitude: int = 7
+    random_erasing_p: float = 0.25
+    hflip_p: float = 0.5
+    enable_augs: bool = True
+
+
+# ------------------------------------------------------------- crop / flip
+
+def random_crop_batch(key, x, padding: int):
+    """Zero-pad by ``padding`` and crop back at a per-image random offset
+    (host twin: transforms.random_crop)."""
+    B, H, W, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    kt, kl = jax.random.split(key)
+    top = jax.random.randint(kt, (B,), 0, 2 * padding + 1)
+    left = jax.random.randint(kl, (B,), 0, 2 * padding + 1)
+    rows = top[:, None] + jnp.arange(H)[None, :]          # [B, H]
+    cols = left[:, None] + jnp.arange(W)[None, :]         # [B, W]
+    xp = jnp.take_along_axis(xp, rows[:, :, None, None], axis=1)
+    return jnp.take_along_axis(xp, cols[:, None, :, None], axis=2)
+
+
+def random_hflip_batch(key, x, p: float = 0.5):
+    flip = jax.random.uniform(key, (x.shape[0],)) < p
+    return jnp.where(flip[:, None, None, None], x[:, :, ::-1], x)
+
+
+# ------------------------------------------------------------- geometric
+
+def _fix16(v):
+    """PIL's FIX macro: C cast (truncate toward zero) of v*65536 + 0.5."""
+    return jnp.trunc(v * 65536.0 + 0.5).astype(jnp.int32)
+
+
+def _affine_warp_nearest(x, mat):
+    """x: [B,H,W,C] int32; mat: [B,6] output->input (a,b,c,d,e,f) as PIL
+    AFFINE, NEAREST, zero fill.
+
+    Bit-exact with PIL's fast path (Geometry.c affine transform): 16.16
+    fixed-point coordinates, per-row start = FIX(c + a*0.5 + b*(y+0.5)),
+    stepping by FIX(a) per output x, pixel = coord >> 16. The fixed-point
+    integers are exact; only the FIX() of the row starts is float (f32 here
+    vs PIL's double), so mismatches need a coordinate within ~1/65536 px of
+    a pixel boundary — measure-zero for random magnitudes."""
+    B, H, W, C = x.shape
+    ys = jnp.arange(H, dtype=jnp.float32) + 0.5
+    a, b, c, d, e, f = (mat[:, i] for i in range(6))
+    row_xx = _fix16(c[:, None] + a[:, None] * 0.5 + b[:, None] * ys[None, :])
+    row_yy = _fix16(f[:, None] + d[:, None] * 0.5 + e[:, None] * ys[None, :])
+    dx = _fix16(a)[:, None, None]
+    dy = _fix16(d)[:, None, None]
+    xs = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    xi = (row_xx[:, :, None] + dx * xs) >> 16  # [B,H,W]
+    yi = (row_yy[:, :, None] + dy * xs) >> 16
+    valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    idx = (jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)).reshape(B, H * W)
+    out = jnp.take_along_axis(
+        x.reshape(B, H * W, C), idx[:, :, None], axis=1
+    ).reshape(B, H, W, C)
+    return jnp.where(valid[..., None], out, 0)
+
+
+def _geo_matrices(op_id, v, H: int, W: int, name_to_id):
+    """Per-image affine matrix: the selected geometric op's matrix, identity
+    for color/identity ops. op_id: [B] int32, v: [B] signed magnitude."""
+    B = op_id.shape[0]
+    one = jnp.ones((B,), jnp.float32)
+    zero = jnp.zeros((B,), jnp.float32)
+    ident = jnp.stack([one, zero, zero, zero, one, zero], axis=1)
+
+    def pick(name, m):
+        return jnp.where((op_id == name_to_id[name])[:, None], m, ident)
+
+    mat = ident
+    mat = jnp.where((op_id == name_to_id["ShearX"])[:, None],
+                    jnp.stack([one, v, zero, zero, one, zero], 1), mat)
+    mat = jnp.where((op_id == name_to_id["ShearY"])[:, None],
+                    jnp.stack([one, zero, zero, v, one, zero], 1), mat)
+    mat = jnp.where((op_id == name_to_id["TranslateX"])[:, None],
+                    jnp.stack([one, zero, v, zero, one, zero], 1), mat)
+    mat = jnp.where((op_id == name_to_id["TranslateY"])[:, None],
+                    jnp.stack([one, zero, zero, zero, one, v], 1), mat)
+    ang = v * (math.pi / 180.0)
+    ca, sa = jnp.cos(ang), jnp.sin(ang)
+    cx, cy = W / 2.0, H / 2.0
+    rot = jnp.stack([ca, -sa, cx - ca * cx + sa * cy,
+                     sa, ca, cy - sa * cx - ca * cy], 1)
+    mat = jnp.where((op_id == name_to_id["Rotate"])[:, None], rot, mat)
+    return mat
+
+
+# ------------------------------------------------------------- color ops
+
+def _gray_l(x):
+    """PIL convert('L'): (19595 R + 38470 G + 7471 B + 0x8000) >> 16."""
+    v = (x[..., 0] * 19595 + x[..., 1] * 38470 + x[..., 2] * 7471 + 0x8000)
+    return v >> 16  # int32 [B,H,W]
+
+
+def _blend_trunc(degenerate, x, f):
+    """PIL ImageEnhance blend: floor(deg + f*(x-deg)) clipped to [0,255].
+    f: [B]."""
+    a = degenerate + f[:, None, None, None] * (x.astype(jnp.float32) - degenerate)
+    return jnp.clip(jnp.floor(a), 0, 255).astype(jnp.int32)
+
+
+def _brightness(x, f):
+    return jnp.clip(jnp.floor(x.astype(jnp.float32) * f[:, None, None, None]),
+                    0, 255).astype(jnp.int32)
+
+
+def _color(x, f):
+    gray = _gray_l(x)[..., None].astype(jnp.float32)
+    return _blend_trunc(gray, x, f)
+
+
+def _contrast(x, f):
+    gray = _gray_l(x)
+    mean = jnp.floor(gray.astype(jnp.float32).mean(axis=(1, 2)) + 0.5)
+    return _blend_trunc(mean[:, None, None, None], x, f)
+
+
+def _sharpness(x, f):
+    B, H, W, C = x.shape
+    k = jnp.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
+    sm = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        jnp.broadcast_to(k[:, :, None, None], (3, 3, 1, C)),
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+    )
+    sm = jnp.clip(jnp.round(sm), 0, 255)
+    # PIL's filtered degenerate keeps the original 1px border
+    ri = jnp.arange(H)[None, :, None, None]
+    ci = jnp.arange(W)[None, None, :, None]
+    border = (ri == 0) | (ri == H - 1) | (ci == 0) | (ci == W - 1)
+    sm = jnp.where(border, x.astype(jnp.float32), sm)
+    return _blend_trunc(sm, x, f)
+
+
+def _posterize(x, bits):
+    # bits: [B] int32; mask = 0xFF << (8-bits) (kept to 8 bits)
+    mask = jnp.bitwise_and(
+        jnp.left_shift(jnp.int32(0xFF), 8 - bits), 0xFF)[:, None, None, None]
+    return jnp.bitwise_and(x, mask)
+
+
+def _solarize(x, thresh):
+    t = thresh[:, None, None, None]
+    return jnp.where(x < t, x, 255 - x)
+
+
+def _autocontrast(x):
+    """PIL's lut = int(i*scale + offset) == (i - lo)*255 // (hi - lo) for
+    in-range pixels (exact integer math — float would 1-off at the exact
+    multiples, e.g. px == hi)."""
+    lo = x.min(axis=(1, 2), keepdims=True)
+    hi = x.max(axis=(1, 2), keepdims=True)
+    num = (x - lo) * 255
+    out = jnp.clip(num // jnp.maximum(hi - lo, 1), 0, 255)
+    return jnp.where(hi > lo, out, x)
+
+
+def _equalize(x):
+    """PIL ImageOps.equalize integer lut per channel."""
+    B, H, W, C = x.shape
+    px = jnp.transpose(x, (0, 3, 1, 2)).reshape(B, C, H * W)  # int32
+    hist = (px[:, :, :, None] == jnp.arange(256)[None, None, None, :]).astype(
+        jnp.int32).sum(axis=2)  # [B,C,256]
+    nnz = (hist > 0).sum(axis=-1)  # [B,C]
+    last_nz_idx = 255 - jnp.argmax((hist > 0)[:, :, ::-1], axis=-1)
+    last_nz = jnp.take_along_axis(hist, last_nz_idx[:, :, None], axis=-1)[..., 0]
+    step = (hist.sum(axis=-1) - last_nz) // 255  # [B,C]
+    cum = jnp.cumsum(hist, axis=-1) - hist  # sum_{j<i} h[j]
+    stp = jnp.maximum(step, 1)[:, :, None]
+    lut = jnp.clip((step[:, :, None] // 2 + cum) // stp, 0, 255)
+    out = jnp.take_along_axis(lut, px, axis=-1)
+    identity = (nnz <= 1) | (step == 0)
+    out = jnp.where(identity[:, :, None], px, out)
+    return jnp.transpose(out.reshape(B, C, H, W), (0, 2, 3, 1))
+
+
+# ------------------------------------------------------------- RandAugment
+
+def _ra_tables(image_size: int, magnitude: int):
+    """Static per-op magnitude at the chosen bin (host _ra_space is the
+    single source of truth)."""
+    space = _ra_space(_NUM_BINS, image_size)
+    mags, signed = [], []
+    for name in _OP_NAMES:
+        m, s = space[name]
+        mags.append(float(m[magnitude]) if m is not None else 0.0)
+        signed.append(bool(s))
+    return np.asarray(mags, np.float32), np.asarray(signed, np.bool_)
+
+
+def rand_augment_batch(key, x, num_ops: int = 2, magnitude: int = 7):
+    """x: [B,H,W,C] int32 in [0,255] -> same. Applies ``num_ops`` sequential
+    ops, each sampled per image uniformly from the 14-op space."""
+    B, H, W, C = x.shape
+    mags, signed = _ra_tables(W, magnitude)
+    mags = jnp.asarray(mags)
+    signed = jnp.asarray(signed)
+    name_to_id = {n: i for i, n in enumerate(_OP_NAMES)}
+
+    for s in range(num_ops):
+        key, k_op, k_sign = jax.random.split(key, 3)
+        op_id = jax.random.randint(k_op, (B,), 0, len(_OP_NAMES))
+        sign = jnp.where(jax.random.uniform(k_sign, (B,)) < 0.5, -1.0, 1.0)
+        v = mags[op_id] * jnp.where(signed[op_id], sign, 1.0)
+
+        # one warp handles all geometric ops (identity matrix otherwise)
+        mat = _geo_matrices(op_id, v, H, W, name_to_id)
+        x = _affine_warp_nearest(x, mat)
+
+        # color ops: compute candidates, select per image
+        f = 1.0 + v
+        for name, out in (
+            ("Brightness", lambda: _brightness(x, f)),
+            ("Color", lambda: _color(x, f)),
+            ("Contrast", lambda: _contrast(x, f)),
+            ("Sharpness", lambda: _sharpness(x, f)),
+            ("Posterize", lambda: _posterize(x, v.astype(jnp.int32))),
+            ("Solarize", lambda: _solarize(x, v.astype(jnp.int32))),
+            ("AutoContrast", lambda: _autocontrast(x)),
+            ("Equalize", lambda: _equalize(x)),
+        ):
+            x = jnp.where((op_id == name_to_id[name])[:, None, None, None],
+                          out(), x)
+    return x
+
+
+# ------------------------------------------------------------- normalize / erase
+
+def normalize_batch(x, mean: Sequence[float], std: Sequence[float]):
+    """uint8/int -> normalized float32 (host twin: transforms.normalize)."""
+    xf = x.astype(jnp.float32) / 255.0
+    m = jnp.asarray(mean, jnp.float32)
+    s = jnp.asarray(std, jnp.float32)
+    return (xf - m) / s
+
+
+def random_erasing_batch(
+    key, x,
+    p: float = 0.25,
+    scale: Tuple[float, float] = (0.02, 0.20),
+    ratio: Tuple[float, float] = (0.3, 3.3),
+    tries: int = 10,
+):
+    """RandomErasing(value='random') on normalized float images: per image,
+    up to ``tries`` candidate boxes, first valid one filled with N(0,1)."""
+    B, H, W, C = x.shape
+    kp, ka, kr, kt, kl, kn = jax.random.split(key, 6)
+    apply = jax.random.uniform(kp, (B,)) < p
+    area = jax.random.uniform(ka, (B, tries), minval=scale[0],
+                              maxval=scale[1]) * (H * W)
+    aspect = jnp.exp(jax.random.uniform(
+        kr, (B, tries), minval=math.log(ratio[0]), maxval=math.log(ratio[1])))
+    eh = jnp.round(jnp.sqrt(area * aspect)).astype(jnp.int32)
+    ew = jnp.round(jnp.sqrt(area / aspect)).astype(jnp.int32)
+    valid = (eh > 0) & (eh < H) & (ew > 0) & (ew < W)
+    pick = jnp.argmax(valid, axis=1)  # first valid try
+    any_valid = valid.any(axis=1)
+    eh = jnp.take_along_axis(eh, pick[:, None], 1)[:, 0]
+    ew = jnp.take_along_axis(ew, pick[:, None], 1)[:, 0]
+    top = jnp.floor(jax.random.uniform(kt, (B,))
+                    * (H - eh + 1).astype(jnp.float32)).astype(jnp.int32)
+    left = jnp.floor(jax.random.uniform(kl, (B,))
+                     * (W - ew + 1).astype(jnp.float32)).astype(jnp.int32)
+    ri = jnp.arange(H)[None, :, None]
+    ci = jnp.arange(W)[None, None, :]
+    inside = ((ri >= top[:, None, None]) & (ri < (top + eh)[:, None, None])
+              & (ci >= left[:, None, None]) & (ci < (left + ew)[:, None, None]))
+    inside = inside & (apply & any_valid)[:, None, None]
+    noise = jax.random.normal(kn, x.shape, x.dtype)
+    return jnp.where(inside[..., None], noise, x)
+
+
+# ------------------------------------------------------------- full recipe
+
+def augment_train_batch(key, images_u8, cfg: AugmentConfig):
+    """The full train recipe on device: raw uint8 NHWC -> normalized float32.
+    Mirrors data/transforms.TrainTransform (resize, when needed, stays on
+    host — it's cheap and cacheable)."""
+    x = images_u8.astype(jnp.int32)
+    if cfg.enable_augs:
+        k_crop, k_flip, k_ra, k_er = jax.random.split(key, 4)
+        x = random_crop_batch(k_crop, x, cfg.crop_pad)
+        x = random_hflip_batch(k_flip, x, cfg.hflip_p)
+        if cfg.ra_num_ops > 0:
+            x = rand_augment_batch(k_ra, x, cfg.ra_num_ops, cfg.ra_magnitude)
+    xf = normalize_batch(x, cfg.mean, cfg.std)
+    if cfg.enable_augs and cfg.random_erasing_p > 0:
+        xf = random_erasing_batch(k_er, xf, cfg.random_erasing_p)
+    return xf
