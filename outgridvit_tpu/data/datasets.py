@@ -66,11 +66,27 @@ def _make_loaders(
     num_threads: int = 8,
     drop_last: bool = False,
     enable_augs: bool = True,
+    device_augment: bool = False,
 ):
-    train_tf = TrainTransform(
-        img_size, native_size, mean, std, ra_num_ops, ra_magnitude,
-        random_erasing_p, crop_pad=crop_pad, enable_augs=enable_augs,
-    )
+    pad = crop_pad if crop_pad is not None else max(4, img_size // 8)
+    if device_augment:
+        # host only resizes; the recipe runs in-jit (ops/augment.py) and its
+        # parameters travel on the loader for the trainer to pick up
+        from outgridvit_tpu.data.transforms import RawTransform
+        from outgridvit_tpu.ops.augment import AugmentConfig
+
+        train_tf = RawTransform(img_size)
+        aug_cfg = AugmentConfig(
+            mean=tuple(mean), std=tuple(std), crop_pad=pad,
+            ra_num_ops=ra_num_ops, ra_magnitude=ra_magnitude,
+            random_erasing_p=random_erasing_p, enable_augs=enable_augs,
+        )
+    else:
+        train_tf = TrainTransform(
+            img_size, native_size, mean, std, ra_num_ops, ra_magnitude,
+            random_erasing_p, crop_pad=crop_pad, enable_augs=enable_augs,
+        )
+        aug_cfg = None
     eval_tf = EvalTransform(img_size, mean, std)
 
     tr_idx, va_idx = _split_train_val(len(train_labels), val_split, seed)
@@ -81,6 +97,7 @@ def _make_loaders(
         batch_size=batch_size, shuffle=True, transform=train_tf, seed=seed,
         drop_last=drop_last, num_threads=num_threads,
     )
+    train_loader.device_augment = aug_cfg
     val_loader = None
     if va_idx is not None:
         val_loader = ArrayDataLoader(
@@ -147,6 +164,7 @@ def get_cifar100_dataloaders(
     random_erasing_p: float = 0.25,
     img_size: int = 32,
     seed: int = 7,
+    device_augment: bool = False,
 ):
     if img_size < 32:
         raise ValueError("img_size must be >= 32 for CIFAR-100")
@@ -156,7 +174,7 @@ def get_cifar100_dataloaders(
         std=CIFAR100_STD, batch_size=batch_size, val_split=val_split,
         seed=seed, img_size=img_size, ra_num_ops=ra_num_ops,
         ra_magnitude=ra_magnitude, random_erasing_p=random_erasing_p,
-        num_threads=max(1, num_workers),
+        num_threads=max(1, num_workers), device_augment=device_augment,
     )
 
 
@@ -198,6 +216,7 @@ def get_svhn_dataloaders(
     random_erasing_p: float = 0.25,
     img_size: int = 32,
     seed: int = 7,
+    device_augment: bool = False,
 ):
     (xtr, ytr), (xte, yte) = _load_svhn_raw(data_dir)
     return _make_loaders(
@@ -205,6 +224,7 @@ def get_svhn_dataloaders(
         batch_size=batch_size, val_split=val_split, seed=seed,
         img_size=img_size, ra_num_ops=ra_num_ops, ra_magnitude=ra_magnitude,
         random_erasing_p=random_erasing_p, num_threads=max(1, num_workers),
+        device_augment=device_augment,
     )
 
 
@@ -255,6 +275,7 @@ def get_tinyimagenet200_hf_dataloaders(
     drop_last: bool = True,
     seed: int = 7,
     enable_augs: bool = True,
+    device_augment: bool = False,
 ):
     """Tiny-ImageNet-200 via a local HF datasets cache (reference
     `src/data/load_tinyimagenet.py:69-160`). val_split > 0 carves val from
@@ -281,7 +302,7 @@ def get_tinyimagenet200_hf_dataloaders(
         img_size=img_size, ra_num_ops=ra_num_ops, ra_magnitude=ra_magnitude,
         random_erasing_p=random_erasing_p, crop_pad=crop_pad,
         num_threads=max(1, num_workers), drop_last=drop_last,
-        enable_augs=enable_augs,
+        enable_augs=enable_augs, device_augment=device_augment,
     )
 
 
@@ -293,18 +314,31 @@ def get_synthetic_dataloaders(
     img_size: int = 32,
     num_classes: int = 100,
     seed: int = 7,
+    device_augment: bool = False,
 ):
     """Random-tensor dataset for smoke/CPU runs (reference
-    `scripts/train.py:117-130`)."""
+    `scripts/train.py:117-130`). With ``device_augment`` the images are raw
+    uint8 and the loader carries an AugmentConfig, exercising the in-jit
+    recipe end-to-end without real data."""
     rng = np.random.default_rng(seed)
-    images = rng.standard_normal((num_samples, img_size, img_size, 3)).astype(
-        np.float32
-    )
+    if device_augment:
+        images = rng.integers(0, 255, (num_samples, img_size, img_size, 3),
+                              dtype=np.uint8)
+    else:
+        images = rng.standard_normal(
+            (num_samples, img_size, img_size, 3)).astype(np.float32)
     labels = rng.integers(0, num_classes, size=(num_samples,)).astype(np.int64)
     loader = ArrayDataLoader(
         images, labels, batch_size=batch_size, shuffle=True, transform=None,
         seed=seed, num_threads=1,
     )
+    if device_augment:
+        from outgridvit_tpu.ops.augment import AugmentConfig
+
+        loader.device_augment = AugmentConfig(
+            mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25),
+            crop_pad=max(4, img_size // 8),
+        )
     return loader, None, None
 
 

@@ -158,7 +158,10 @@ class ArrayDataLoader:
 
 class Prefetcher:
     """Wraps a batch iterator, keeping ``depth`` batches already on device
-    (sharded if a sharding is given) ahead of the consumer."""
+    (sharded if a sharding is given) ahead of the consumer.
+
+    ``sharding`` may be a Sharding or a callable ``array -> Sharding`` (used
+    when the stream mixes [B, ...] batches and [K, B, ...] superbatches)."""
 
     def __init__(self, it, sharding=None, depth: int = 2):
         import jax
@@ -173,22 +176,21 @@ class Prefetcher:
 
         buf = collections.deque()
 
-        def put(batch):
-            x, y = batch
-            if self.sharding is not None:
+        def put_one(a):
+            s = self.sharding(a) if callable(self.sharding) else self.sharding
+            if s is not None:
                 try:
-                    x = self._jax.device_put(x, self.sharding)
-                    y = self._jax.device_put(y, self.sharding)
+                    return self._jax.device_put(a, s)
                 except ValueError:
                     # ragged last batch not divisible by the data axis:
                     # fall back to an unsharded put (GSPMD reshards inside
                     # jit; only the final partial eval batch hits this)
-                    x = self._jax.device_put(x)
-                    y = self._jax.device_put(y)
-            else:
-                x = self._jax.device_put(x)
-                y = self._jax.device_put(y)
-            buf.append((x, y))
+                    pass
+            return self._jax.device_put(a)
+
+        def put(batch):
+            x, y = batch
+            buf.append((put_one(x), put_one(y)))
 
         for batch in self.it:
             put(batch)

@@ -28,6 +28,7 @@ def build_dataloaders(
         ra_magnitude=int(data_cfg.get("ra_magnitude", 7)),
         random_erasing_p=float(data_cfg.get("random_erasing_p", 0.25)),
         seed=data_seed,
+        device_augment=bool(data_cfg.get("device_augment", False)),
     )
 
     if dataset == "cifar100":
@@ -62,6 +63,7 @@ def build_dataloaders(
             img_size=int(data_cfg.get("img_size", 32)),
             num_classes=num_classes,
             seed=data_seed,
+            device_augment=bool(data_cfg.get("device_augment", False)),
         )
     raise ValueError(
         "data.dataset must be 'cifar100', 'svhn', 'tinyimagenet200', "

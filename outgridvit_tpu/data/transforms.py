@@ -231,6 +231,20 @@ class TrainTransform:
         return x
 
 
+class RawTransform:
+    """Resize (if needed) only; returns uint8 HWC. Used when the train
+    augmentations run ON DEVICE (ops/augment.py) — the host just feeds raw
+    pixels, 4x smaller on the wire than normalized float32."""
+
+    def __init__(self, img_size: int):
+        self.img_size = img_size
+
+    def __call__(self, img: np.ndarray, rng=None) -> np.ndarray:
+        if self.img_size != img.shape[0]:
+            img = resize(img, self.img_size)
+        return np.ascontiguousarray(img)
+
+
 class EvalTransform:
     """Resize (if needed) + normalize."""
 

@@ -67,18 +67,44 @@ class AugmentConfig:
 
 # ------------------------------------------------------------- crop / flip
 
+def _crop_matrix(key, B: int, padding: int):
+    """RandomCrop(pad) as an exact affine translate with zero fill:
+    out[y, x] = img[y + top - p, x + left - p] (pad+slice equivalence)."""
+    kt, kl = jax.random.split(key)
+    top = jax.random.randint(kt, (B,), 0, 2 * padding + 1).astype(jnp.float32)
+    left = jax.random.randint(kl, (B,), 0, 2 * padding + 1).astype(jnp.float32)
+    one = jnp.ones((B,), jnp.float32)
+    zero = jnp.zeros((B,), jnp.float32)
+    return jnp.stack([one, zero, left - padding, zero, one, top - padding], 1)
+
+
+def _flip_matrix(key, B: int, W: int, p: float):
+    """Horizontal flip as an exact affine (a=-1, c=W: floor(W-x-0.5)=W-1-x),
+    identity for the non-flipped images."""
+    flip = jax.random.uniform(key, (B,)) < p
+    one = jnp.ones((B,), jnp.float32)
+    zero = jnp.zeros((B,), jnp.float32)
+    a = jnp.where(flip, -1.0, 1.0)
+    c = jnp.where(flip, float(W), 0.0)
+    return jnp.stack([a, zero, c, zero, one, zero], 1)
+
+
+def _compose_affine(inner, outer):
+    """warp(warp(x, inner), outer) == warp(x, compose(inner, outer)):
+    coords_in = inner(outer(coords_out)). Exact for the integer maps used
+    here (translate/flip keep half-integer centers on half-integers)."""
+    a1, b1, c1, d1, e1, f1 = (inner[:, i] for i in range(6))
+    a2, b2, c2, d2, e2, f2 = (outer[:, i] for i in range(6))
+    return jnp.stack([
+        a1 * a2 + b1 * d2, a1 * b2 + b1 * e2, a1 * c2 + b1 * f2 + c1,
+        d1 * a2 + e1 * d2, d1 * b2 + e1 * e2, d1 * c2 + e1 * f2 + f1,
+    ], 1)
+
+
 def random_crop_batch(key, x, padding: int):
     """Zero-pad by ``padding`` and crop back at a per-image random offset
     (host twin: transforms.random_crop)."""
-    B, H, W, C = x.shape
-    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
-    kt, kl = jax.random.split(key)
-    top = jax.random.randint(kt, (B,), 0, 2 * padding + 1)
-    left = jax.random.randint(kl, (B,), 0, 2 * padding + 1)
-    rows = top[:, None] + jnp.arange(H)[None, :]          # [B, H]
-    cols = left[:, None] + jnp.arange(W)[None, :]         # [B, W]
-    xp = jnp.take_along_axis(xp, rows[:, :, None, None], axis=1)
-    return jnp.take_along_axis(xp, cols[:, None, :, None], axis=2)
+    return _affine_warp_nearest(x, _crop_matrix(key, x.shape[0], padding))
 
 
 def random_hflip_batch(key, x, p: float = 0.5):
@@ -113,12 +139,23 @@ def _affine_warp_nearest(x, mat):
     xs = jnp.arange(W, dtype=jnp.int32)[None, None, :]
     xi = (row_xx[:, :, None] + dx * xs) >> 16  # [B,H,W]
     yi = (row_yy[:, :, None] + dy * xs) >> 16
-    valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-    idx = (jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)).reshape(B, H * W)
-    out = jnp.take_along_axis(
-        x.reshape(B, H * W, C), idx[:, :, None], axis=1
-    ).reshape(B, H, W, C)
-    return jnp.where(valid[..., None], out, 0)
+
+    # TPU-friendly gather: per-pixel dynamic gathers serialize on TPU, so the
+    # lookup is factored into two one-hot contractions that ride the MXU/VPU
+    # (exact: each one-hot row has at most a single 1; out-of-range coords
+    # give all-zero rows, which IS the zero fill). Working set stays
+    # O(B*HW*max(H,W)) — no [HW, HW] matrix.
+    row_oh = (yi.reshape(B, H * W)[:, :, None]
+              == jnp.arange(H)[None, None, :]).astype(jnp.bfloat16)
+    col_oh = (xi.reshape(B, H * W)[:, :, None]
+              == jnp.arange(W)[None, None, :]).astype(jnp.bfloat16)
+    # g[b,o,w,c] = x[b, yi[o], w, c]
+    g = jnp.einsum("bor,brwc->bowc", row_oh,
+                   x.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    out = jnp.einsum("bowc,bow->boc", g, col_oh.astype(jnp.float32))
+    # uint8 values (<=255) are exact in bf16/f32; round defensively
+    return jnp.round(out).astype(x.dtype).reshape(B, H, W, C)
 
 
 def _geo_matrices(op_id, v, H: int, W: int, name_to_id):
@@ -224,19 +261,29 @@ def _autocontrast(x):
 
 
 def _equalize(x):
-    """PIL ImageOps.equalize integer lut per channel."""
+    """PIL ImageOps.equalize integer lut per channel.
+
+    No dynamic gathers (they serialize on TPU): the 256-wide pixel one-hot
+    serves both the histogram (reduce over pixels) and the lut application
+    (contraction over the value axis, exact — one 1 per row)."""
     B, H, W, C = x.shape
     px = jnp.transpose(x, (0, 3, 1, 2)).reshape(B, C, H * W)  # int32
-    hist = (px[:, :, :, None] == jnp.arange(256)[None, None, None, :]).astype(
-        jnp.int32).sum(axis=2)  # [B,C,256]
+    onehot = (px[:, :, :, None] == jnp.arange(256)[None, None, None, :])
+    hist = onehot.astype(jnp.int32).sum(axis=2)  # [B,C,256]
     nnz = (hist > 0).sum(axis=-1)  # [B,C]
+    # hist value at the LAST nonzero bin, again without a gather
     last_nz_idx = 255 - jnp.argmax((hist > 0)[:, :, ::-1], axis=-1)
-    last_nz = jnp.take_along_axis(hist, last_nz_idx[:, :, None], axis=-1)[..., 0]
+    last_nz = jnp.sum(
+        jnp.where(jnp.arange(256)[None, None, :] == last_nz_idx[:, :, None],
+                  hist, 0), axis=-1)
     step = (hist.sum(axis=-1) - last_nz) // 255  # [B,C]
     cum = jnp.cumsum(hist, axis=-1) - hist  # sum_{j<i} h[j]
     stp = jnp.maximum(step, 1)[:, :, None]
     lut = jnp.clip((step[:, :, None] // 2 + cum) // stp, 0, 255)
-    out = jnp.take_along_axis(lut, px, axis=-1)
+    out = jnp.einsum("bcpv,bcv->bcp", onehot.astype(jnp.bfloat16),
+                     lut.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    out = jnp.round(out).astype(x.dtype)
     identity = (nnz <= 1) | (step == 0)
     out = jnp.where(identity[:, :, None], px, out)
     return jnp.transpose(out.reshape(B, C, H, W), (0, 2, 3, 1))
@@ -347,8 +394,11 @@ def augment_train_batch(key, images_u8, cfg: AugmentConfig):
     x = images_u8.astype(jnp.int32)
     if cfg.enable_augs:
         k_crop, k_flip, k_ra, k_er = jax.random.split(key, 4)
-        x = random_crop_batch(k_crop, x, cfg.crop_pad)
-        x = random_hflip_batch(k_flip, x, cfg.hflip_p)
+        B, _, W, _ = x.shape
+        # crop-then-flip as ONE composed warp (both are exact integer maps)
+        m = _compose_affine(_crop_matrix(k_crop, B, cfg.crop_pad),
+                            _flip_matrix(k_flip, B, W, cfg.hflip_p))
+        x = _affine_warp_nearest(x, m)
         if cfg.ra_num_ops > 0:
             x = rand_augment_batch(k_ra, x, cfg.ra_num_ops, cfg.ra_magnitude)
     xf = normalize_batch(x, cfg.mean, cfg.std)

@@ -48,6 +48,12 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def superbatch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for [K, B, ...] stacked batches (K scanned steps per
+    dispatch): the scan axis stays replicated, the batch axis shards."""
+    return NamedSharding(mesh, P(None, axis))
+
+
 # Parameter partitioning rules for tensor parallelism. Matched against the
 # "/"-joined flax param path. Column-parallel on the hidden/out dim for the
 # up-projections, row-parallel on the in dim for the down-projections.

@@ -19,11 +19,46 @@ import jax.numpy as jnp
 import numpy as np
 
 from outgridvit_tpu.data.pipeline import Prefetcher
-from outgridvit_tpu.parallel.mesh import batch_sharding, make_mesh, shard_train_state
+from outgridvit_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    shard_train_state,
+    superbatch_sharding,
+)
 from outgridvit_tpu.training.checkpoints import load_checkpoint, save_checkpoint
 from outgridvit_tpu.training.optim import make_optimizer, warmup_cosine_lr
-from outgridvit_tpu.training.steps import StepConfig, make_eval_step, make_train_step
+from outgridvit_tpu.training.steps import (
+    StepConfig,
+    make_eval_step,
+    make_train_step,
+    make_train_superstep,
+)
 from outgridvit_tpu.training.train_state import TrainState
+
+
+def _group_batches(it, k: int, full_bs: int):
+    """Stack runs of ``k`` full-size host batches into [k, B, ...]
+    superbatches; anything irregular (the ragged tail, the <k remainder)
+    passes through as single batches."""
+    buf = []
+
+    def flush():
+        nonlocal buf
+        if len(buf) == k:
+            yield np.stack([b[0] for b in buf]), np.stack([b[1] for b in buf])
+        else:
+            yield from buf
+        buf = []
+
+    for x, y in it:
+        if y.shape[0] != full_bs:
+            yield from flush()
+            yield x, y
+            continue
+        buf.append((x, y))
+        if len(buf) == k:
+            yield from flush()
+    yield from flush()
 
 
 def _device_mem_gib() -> float:
@@ -82,6 +117,7 @@ def train_model(
     seed: int = 7,
     mesh=None,
     state: Optional[TrainState] = None,
+    steps_per_dispatch: int = 1,
 ):
     """Train; returns ``(history, state)`` (the reference returns
     ``(history, model)``; the TrainState is the functional equivalent)."""
@@ -117,17 +153,27 @@ def train_model(
         )
     state = shard_train_state(state, mesh)
 
-    train_step = make_train_step(
-        StepConfig(
-            num_classes=num_classes,
-            label_smoothing=label_smoothing,
-            mixup_alpha=mixup_alpha,
-            cutmix_alpha=cutmix_alpha,
-            mix_prob=mix_prob,
-            grad_clip_norm=grad_clip_norm,
-        ),
-        lr_schedule=schedule,
+    # loaders built with device_augment=True yield raw uint8 and carry the
+    # AugmentConfig; the whole recipe then runs inside the jitted step
+    aug_cfg = getattr(train_loader, "device_augment", None)
+    step_cfg = StepConfig(
+        num_classes=num_classes,
+        label_smoothing=label_smoothing,
+        mixup_alpha=mixup_alpha,
+        cutmix_alpha=cutmix_alpha,
+        mix_prob=mix_prob,
+        grad_clip_norm=grad_clip_norm,
+        augment=aug_cfg,
     )
+    train_step = make_train_step(step_cfg, lr_schedule=schedule)
+    # K>1: scan K steps per dispatch (amortizes the per-dispatch host round
+    # trip, which dominates over remote-device links once a step is ~20 ms)
+    kdisp = max(1, int(steps_per_dispatch))
+    train_superstep = (
+        make_train_superstep(step_cfg, lr_schedule=schedule) if kdisp > 1
+        else None
+    )
+    super_shard = superbatch_sharding(mesh)
     eval_step = make_eval_step(model.apply, label_smoothing=0.0)
     base_rng = jax.random.PRNGKey(seed)
 
@@ -198,6 +244,7 @@ def train_model(
     print(
         f"aug: mix_prob={mix_prob} | mixup_alpha={mixup_alpha} | "
         f"cutmix_alpha={cutmix_alpha} | label_smoothing={label_smoothing}"
+        + (" | device_augment=on" if aug_cfg is not None else "")
     )
     if val_loader is not None:
         print(
@@ -231,22 +278,50 @@ def train_model(
 
         def drain():
             # ONE bulk device->host transfer; per-scalar float() costs a
-            # round trip each, which is ruinous over remote-device links
+            # round trip each, which is ruinous over remote-device links.
+            # Concatenate per key on device first: the fetch then moves one
+            # buffer per metric instead of steps x metrics tiny scalars
+            # (superstep entries are already [K]-vectors; flatten uniformly).
             nonlocal device_metrics
             if device_metrics:
-                fetched = jax.device_get(device_metrics)
+                ks = list(device_metrics[0].keys())
+                stacked = {
+                    k: jnp.concatenate(
+                        [jnp.atleast_1d(d[k]) for d in device_metrics])
+                    for k in ks
+                }
+                fetched = jax.device_get(stacked)
+                n = len(fetched[ks[0]])
                 host_metrics.extend(
-                    {k: float(v) for k, v in d.items()} for d in fetched
+                    {k: float(fetched[k][i]) for k in ks} for i in range(n)
                 )
                 device_metrics = []
 
-        for step, batch in enumerate(
-            Prefetcher(iter(train_loader), sharding=data_shard), start=1
-        ):
-            state, m = train_step(state, batch, base_rng)
+        if kdisp > 1:
+            host_iter = _group_batches(iter(train_loader), kdisp, bs0)
+
+            def shard_fn(a):  # labels [K,B] / images [K,B,H,W,C]
+                return super_shard if a.ndim in (2, 5) else data_shard
+        else:
+            host_iter = iter(train_loader)
+            shard_fn = data_shard
+
+        step = 0
+        last_print_bucket = 0
+        for batch in Prefetcher(host_iter, sharding=shard_fn):
+            xb, yb = batch
+            if yb.ndim == 2:  # [K, B] superbatch
+                state, m = train_superstep(state, (xb, yb), base_rng)
+                step += yb.shape[0]
+                total += yb.shape[0] * yb.shape[1]
+            else:
+                state, m = train_step(state, (xb, yb), base_rng)
+                step += 1
+                total += yb.shape[0]
             device_metrics.append(m)
-            total += batch[1].shape[0]
-            if print_every and (step % print_every == 0 or step == nsteps):
+            bucket = step // print_every if print_every else 0
+            if print_every and (bucket > last_print_bucket or step == nsteps):
+                last_print_bucket = bucket
                 drain()
                 # skipped (non-finite) steps are excluded from the means,
                 # matching the reference's running averages

@@ -41,6 +41,11 @@ class StepConfig:
     cutmix_alpha: float = 0.0
     mix_prob: float = 1.0
     grad_clip_norm: Optional[float] = 1.0
+    # when set, batches are RAW uint8 images and the whole augmentation
+    # recipe (crop/flip/RandAugment/normalize/erasing) runs in-jit on device
+    # (ops/augment.py) — the TPU-first answer to the reference's DataLoader
+    # worker pool (`load_cifrar100.py:121-137`)
+    augment: Optional["AugmentConfig"] = None  # noqa: F821
 
 
 def make_train_step(cfg: StepConfig, lr_schedule=None, jit: bool = True,
@@ -53,7 +58,11 @@ def make_train_step(cfg: StepConfig, lr_schedule=None, jit: bool = True,
     def train_step(state, batch, base_rng):
         images, labels = batch
         rng = jax.random.fold_in(base_rng, state.step)
-        r_mix, r_drop, r_dpath = jax.random.split(rng, 3)
+        r_aug, r_mix, r_drop, r_dpath = jax.random.split(rng, 4)
+        if cfg.augment is not None:
+            from outgridvit_tpu.ops.augment import augment_train_batch
+
+            images = augment_train_batch(r_aug, images, cfg.augment)
 
         images_aug, targets_soft = apply_mixup_cutmix(
             r_mix, images, labels,
@@ -122,6 +131,32 @@ def make_train_step(cfg: StepConfig, lr_schedule=None, jit: bool = True,
     if jit:
         return jax.jit(train_step, donate_argnums=(0,), **jit_kwargs)
     return train_step
+
+
+def make_train_superstep(cfg: StepConfig, lr_schedule=None, jit: bool = True,
+                         **jit_kwargs):
+    """K train steps in ONE dispatched XLA program via ``lax.scan``.
+
+    (state, (images [K,B,...], labels [K,B]), base_rng) ->
+    (new_state, metrics dict of [K] arrays).
+
+    Over remote-device links the per-dispatch host round trip dominates once
+    the step itself is ~20 ms; scanning K steps amortizes it K-fold. Inside
+    the scan each step is the exact single-step body (same rng fold on
+    state.step, same non-finite guard), so results are bit-identical to K
+    sequential dispatches."""
+    inner = make_train_step(cfg, lr_schedule, jit=False)
+
+    def superstep(state, batches, base_rng):
+        def body(st, xy):
+            st, m = inner(st, xy, base_rng)
+            return st, m
+
+        return jax.lax.scan(body, state, batches)
+
+    if jit:
+        return jax.jit(superstep, donate_argnums=(0,), **jit_kwargs)
+    return superstep
 
 
 def make_eval_step(apply_fn, label_smoothing: float = 0.0, jit: bool = True,

@@ -7,6 +7,7 @@ unchanged. `--device` maps onto jax platforms (tpu|cpu).
 """
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -38,6 +39,14 @@ def parse_args() -> argparse.Namespace:
     parser.add_argument("--no-amp", action="store_true", help="Disable mixed precision (use fp32)")
     parser.add_argument("--seed", type=int, help="Override random seed")
     parser.add_argument("--mesh", help="Device mesh as data,model (e.g. '4,2')")
+    parser.add_argument(
+        "--device-augment", choices=["auto", "on", "off"], default="auto",
+        help="run the train augmentation recipe in-jit on device (auto: on "
+             "for accelerator backends, off on CPU)")
+    parser.add_argument(
+        "--steps-per-dispatch", type=int, default=None,
+        help="scan K train steps per dispatched XLA program (amortizes host "
+             "round trips; default: 8 on accelerator backends, 1 on CPU)")
     return parser.parse_args()
 
 
@@ -83,6 +92,30 @@ def main() -> int:
     elif device in ("cuda", "tpu", "auto", ""):
         pass  # jax picks the best available backend
     import jax  # noqa: E402  (after platform selection)
+
+    if "device_augment" not in data_cfg:
+        if args.device_augment == "auto":
+            data_cfg["device_augment"] = jax.default_backend() != "cpu"
+        else:
+            data_cfg["device_augment"] = args.device_augment == "on"
+    elif args.device_augment != "auto":
+        data_cfg["device_augment"] = args.device_augment == "on"
+
+    if args.steps_per_dispatch is not None:
+        train_cfg["steps_per_dispatch"] = args.steps_per_dispatch
+    if "steps_per_dispatch" not in train_cfg:
+        train_cfg["steps_per_dispatch"] = (
+            8 if jax.default_backend() != "cpu" else 1)
+
+    # persistent compilation cache: repeated runs of the same config skip
+    # the (minutes-long over a remote link) XLA compile
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("OUTGRIDVIT_JAX_CACHE", "/tmp/outgridvit_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from outgridvit_tpu.data import build_dataloaders
     from outgridvit_tpu.models import build_model
@@ -143,6 +176,7 @@ def main() -> int:
         ),
         seed=seed,
         mesh=mesh,
+        steps_per_dispatch=int(train_cfg.get("steps_per_dispatch", 1)),
     )
 
     print("Training complete. History keys:", sorted(history.keys()))

@@ -123,6 +123,21 @@ def test_random_crop_batch_semantics():
     assert all(ok)
 
 
+def test_cropflip_composition_equals_sequential():
+    """The composed crop+flip warp must equal crop followed by flip
+    (matrix composition is exact for these integer maps)."""
+    imgs = _imgs(b=16, size=8, seed=9).astype(np.int32)
+    x = jnp.asarray(imgs)
+    k_crop, k_flip = jax.random.split(jax.random.PRNGKey(3))
+    seq = A.random_crop_batch(k_crop, x, 2)
+    flip = jax.random.uniform(k_flip, (16,)) < 0.5
+    seq = jnp.where(flip[:, None, None, None], seq[:, :, ::-1], seq)
+    m = A._compose_affine(A._crop_matrix(k_crop, 16, 2),
+                          A._flip_matrix(k_flip, 16, 8, 0.5))
+    comp = A._affine_warp_nearest(x, m)
+    np.testing.assert_array_equal(np.asarray(comp), np.asarray(seq))
+
+
 def test_random_hflip_batch():
     imgs = _imgs(b=32, size=8, seed=6).astype(np.int32)
     out = np.asarray(A.random_hflip_batch(jax.random.PRNGKey(0),

@@ -75,6 +75,93 @@ def test_resume_roundtrip(tmp_path):
     assert int(s2.step) == 2 * len(train_loader)
 
 
+def test_train_epoch_with_device_augment(tmp_path):
+    """Raw uint8 loader + in-jit augmentation recipe through the real
+    train_model path (the TPU-first input pipeline, ops/augment.py)."""
+    from outgridvit_tpu.training import train_model
+
+    train_loader, _, _ = get_synthetic_dataloaders(
+        batch_size=8, num_samples=16, img_size=8, num_classes=10, seed=0,
+        device_augment=True)
+    assert train_loader.device_augment is not None
+    x0, _ = next(iter(train_loader))
+    assert x0.dtype == np.uint8  # host feeds raw pixels
+    history, state = train_model(
+        model=tiny_model(), train_loader=train_loader, epochs=1,
+        val_loader=None, use_amp=False, print_every=0,
+        save_path=str(tmp_path / "b.ckpt"), last_path=str(tmp_path / "l.ckpt"),
+        mixup_alpha=0.2, cutmix_alpha=1.0, mix_prob=0.5,
+        num_classes=10, early_stop=False, seed=0)
+    assert np.isfinite(history["train_loss"][0])
+    assert int(state.step) == len(train_loader)
+
+
+def test_superstep_matches_sequential_steps():
+    """lax.scan-of-K-steps must produce the same state and metrics as K
+    sequential single-step dispatches (same rng fold on state.step; only
+    XLA fusion-order float noise ~1e-8 may differ)."""
+    import jax
+    import jax.numpy as jnp
+
+    from outgridvit_tpu.training.optim import make_optimizer, warmup_cosine_lr
+    from outgridvit_tpu.training.steps import (
+        StepConfig, make_train_step, make_train_superstep)
+    from outgridvit_tpu.training.train_state import TrainState
+
+    model = tiny_model()
+    K, bs = 3, 4
+    xs = jax.random.normal(jax.random.PRNGKey(0), (K, bs, 8, 8, 3))
+    ys = (jnp.arange(K * bs) % 10).reshape(K, bs)
+    schedule = warmup_cosine_lr(1e-3, 100, 10)
+    cfg = StepConfig(num_classes=10, mixup_alpha=0.2, cutmix_alpha=1.0,
+                     mix_prob=0.5, grad_clip_norm=1.0)
+
+    def init_state():
+        variables = jax.jit(model.init)(jax.random.PRNGKey(1), xs[0])
+        return TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            tx=make_optimizer(schedule, 0.05, 1.0))
+
+    base = jax.random.PRNGKey(2)
+    step = make_train_step(cfg, lr_schedule=schedule)
+    s1 = init_state()
+    ms = []
+    for i in range(K):
+        s1, m = step(s1, (xs[i], ys[i]), base)
+        ms.append(m)
+
+    superstep = make_train_superstep(cfg, lr_schedule=schedule)
+    s2, msup = superstep(init_state(), (xs, ys), base)
+
+    assert int(s2.step) == int(s1.step) == K
+    for l1, l2 in zip(jax.tree_util.tree_leaves(s1.params),
+                      jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-4)
+    for i in range(K):
+        for k in ms[i]:
+            np.testing.assert_allclose(float(msup[k][i]), float(ms[i][k]),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_batches_superdispatch_epoch(tmp_path):
+    """train_model with steps_per_dispatch>1: full groups scan, the ragged
+    tail and <K remainder run as singles; history means unchanged."""
+    from outgridvit_tpu.training import train_model
+
+    # 36 samples / bs 8 -> 4 full batches + ragged 4: K=3 -> one scan(3),
+    # one single full, one ragged single
+    train_loader, _, _ = get_synthetic_dataloaders(
+        batch_size=8, num_samples=36, img_size=8, num_classes=10, seed=0)
+    history, state = train_model(
+        model=tiny_model(), train_loader=train_loader, epochs=1,
+        val_loader=None, use_amp=False, print_every=2,
+        save_path=str(tmp_path / "b.ckpt"), last_path=str(tmp_path / "l.ckpt"),
+        num_classes=10, early_stop=False, seed=0, steps_per_dispatch=3)
+    assert np.isfinite(history["train_loss"][0])
+    assert int(state.step) == len(train_loader)  # all 5 steps ran
+
+
 def test_mixup_cutmix_semantics():
     import jax
     import jax.numpy as jnp
