@@ -3,4 +3,5 @@ from outgridvit_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     param_pspec,
     shard_train_state,
+    superbatch_sharding,
 )
