@@ -18,10 +18,19 @@ from flax import linen as nn
 
 from outgridvit_tpu.ops.grid import grid_partition, grid_unpartition
 from outgridvit_tpu.ops.outlook import outlook_aggregate
-from outgridvit_tpu.models.layers import ChannelMLP, DropPath, LayerNorm, MBConv
+from outgridvit_tpu.models.layers import (
+    ChannelMLP,
+    DenseParams,
+    DropPath,
+    LayerNorm,
+    MBConv,
+    layernorm_fp32,
+)
 from outgridvit_tpu.stage_config import MBConvConfig, StageCfg
 
 Dtype = jnp.dtype
+
+_DenseParams = DenseParams
 
 
 class OutlookAttention2d(nn.Module):
@@ -95,13 +104,13 @@ class MultiHeadSelfAttention(nn.Module):
     """Standard MHSA on [B, N, C] tokens (reference
     `src/model/grid_attention.py:33-89`). Logits/softmax in fp32.
 
-    With ``use_pallas`` (default on TPU), the attention core runs as one
-    fused Pallas kernel (:mod:`outgridvit_tpu.ops.grid_attention_pallas`) —
-    softmax(qk^T)v entirely in VMEM, no attention-matrix materialization;
-    ~2.5x faster than the XLA lowering on the many-tiny-grids shapes this
-    model produces. Falls back to the XLA einsum path when capturing
-    attention, when attention dropout is active, or off-TPU. Both paths
-    share the same parameters ("qkv"/"proj").
+    With ``use_pallas`` (default on TPU) the whole branch — optional pre-LN
+    (pass ``ln=(scale, bias, eps)``), qkv projection, softmax(qk^T)v, output
+    projection — runs as ONE fused Pallas kernel
+    (:mod:`outgridvit_tpu.ops.attn_branch_pallas`): the only HBM traffic is
+    x in / y out. Falls back to the XLA einsum path when capturing attention,
+    when attention dropout is active, or off-TPU. Both paths share the same
+    parameters ("qkv"/"proj" with nn.Dense's exact tree).
     """
 
     dim: int
@@ -113,7 +122,8 @@ class MultiHeadSelfAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, capture: bool = False):
+    def __call__(self, x, deterministic: bool = True, capture: bool = False,
+                 ln=None):
         if self.dim <= 0:
             raise ValueError("dim must be > 0")
         if self.num_heads <= 0:
@@ -130,19 +140,66 @@ class MultiHeadSelfAttention(nn.Module):
         heads = self.num_heads
         hd = C // heads
         scale = hd**-0.5
+        dt = self.dtype
 
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-                       name="qkv")(x)  # [B, N, 3C]
+        wqkv, bqkv = _DenseParams(3 * C, use_bias=self.qkv_bias,
+                                  name="qkv")(C)
+        wproj, bproj = _DenseParams(C, use_bias=True, name="proj")(C)
 
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         dropout_active = self.attn_drop > 0.0 and not deterministic
         if use_pallas and not capture and not dropout_active:
-            from outgridvit_tpu.ops.grid_attention_pallas import grid_mhsa_pallas
+            import os
 
-            out = grid_mhsa_pallas(qkv, heads)
+            # A/B on a v5e full train step (docs/PERFORMANCE.md): the
+            # attention-core kernel + XLA projections beats the fully-fused
+            # branch kernel in context (6341 vs 6104 imgs/s), even though the
+            # fused kernel wins standalone — XLA overlaps the projection dots
+            # with neighboring ops, a serial Pallas body cannot. Fused path
+            # kept as an opt-in (OUTGRIDVIT_FUSED_ATTN=1) for wide-C models.
+            fuse_branch = os.environ.get("OUTGRIDVIT_FUSED_ATTN") in (
+                "1", "true")
+            if fuse_branch:
+                from outgridvit_tpu.ops.attn_branch_pallas import (
+                    attn_branch_pallas,
+                )
+
+                if ln is not None:
+                    ls, lb, eps = ln
+                    apply_ln = True
+                else:
+                    ls = jnp.ones((C,), jnp.float32)
+                    lb = jnp.zeros((C,), jnp.float32)
+                    eps, apply_ln = 1e-5, False
+                bq = (bqkv if bqkv is not None
+                      else jnp.zeros((3 * C,), jnp.float32))
+                out = attn_branch_pallas(
+                    x.astype(dt), ls, lb, wqkv.astype(dt), bq.astype(dt),
+                    wproj.astype(dt), bproj.astype(dt), heads, float(eps),
+                    apply_ln)
+            else:
+                from outgridvit_tpu.ops.grid_attention_pallas import (
+                    grid_mhsa_pallas,
+                )
+
+                if ln is not None:
+                    ls, lb, eps = ln
+                    x = layernorm_fp32(x, ls, lb, eps)
+                qkv = x.astype(dt) @ wqkv.astype(dt)
+                if bqkv is not None:
+                    qkv = qkv + bqkv.astype(dt)
+                out = grid_mhsa_pallas(qkv, heads)
+                out = out @ wproj.astype(dt) + bproj.astype(dt)
         else:
+            if ln is not None:
+                ls, lb, eps = ln
+                x = layernorm_fp32(x, ls, lb, eps)
+            # nn.Dense semantics: operands promoted to the compute dtype
+            qkv = x.astype(dt) @ wqkv.astype(dt)
+            if bqkv is not None:
+                qkv = qkv + bqkv.astype(dt)
             qkv_ = qkv.reshape(B, N, 3, heads, hd)
             q, k, v = qkv_[:, :, 0], qkv_[:, :, 1], qkv_[:, :, 2]
 
@@ -154,10 +211,11 @@ class MultiHeadSelfAttention(nn.Module):
                 # (`grid_attention.py:77-78`)
                 self.sow("intermediates", "attn", attn)
             attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(x.dtype), v,
-                             preferred_element_type=jnp.float32).astype(x.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(qkv.dtype), v,
+                             preferred_element_type=jnp.float32
+                             ).astype(qkv.dtype)
             out = out.reshape(B, N, C)
-        out = nn.Dense(C, use_bias=True, dtype=self.dtype, name="proj")(out)
+            out = out @ wproj.astype(dt) + bproj.astype(dt)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 
@@ -181,13 +239,16 @@ class GridAttention2D(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, capture: bool = False):
+    def __call__(self, x, deterministic: bool = True, capture: bool = False,
+                 ln=None):
         if x.ndim != 4:
             raise ValueError(f"Expected NHWC. Got {tuple(x.shape)}")
         B, H, W, C = x.shape
         if C != self.dim:
             raise ValueError(f"Expected C=={self.dim}. Got C={C}")
         g = self.grid_size
+        # LN is per-token, so it commutes with the partition; passing it
+        # down lets the MHSA fuse it into the Pallas branch kernel.
         grids, meta = grid_partition(x, g)
         Bgrp, Hg, Wg, _ = grids.shape
         tokens = grids.reshape(Bgrp, Hg * Wg, C)
@@ -200,7 +261,7 @@ class GridAttention2D(nn.Module):
             use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="mhsa",
-        )(tokens, deterministic=deterministic, capture=capture)
+        )(tokens, deterministic=deterministic, capture=capture, ln=ln)
         grids = tokens.reshape(Bgrp, Hg, Wg, C)
         return grid_unpartition(grids, meta)
 
@@ -239,10 +300,12 @@ class OutlookerBlock2d(nn.Module):
         )(y, deterministic=deterministic, capture=capture)
         x = x + DropPath(self.drop_path, name="dp1")(y, deterministic=deterministic)
 
-        y = LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
+        ls, lb = LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                           name="norm2")(x, return_params=True)
         y = ChannelMLP(dim=self.dim, mlp_ratio=self.mlp_ratio, drop=self.mlp_drop,
-                       act=self.act, dtype=self.dtype, name="mlp")(
-            y, deterministic=deterministic)
+                       act=self.act, use_pallas=self.use_pallas,
+                       dtype=self.dtype, name="mlp")(
+            x, deterministic=deterministic, ln=(ls, lb, self.norm_eps))
         x = x + DropPath(self.drop_path, name="dp2")(y, deterministic=deterministic)
         return x
 
@@ -301,8 +364,11 @@ class OutGridBlock(nn.Module):
 
         if cfg.num_heads > 0:
             # grid-attn + MLP sub-block norms use torch nn.LayerNorm default
-            # eps 1e-5 (`Out_Grid_Block.py:69,84`)
-            y = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+            # eps 1e-5 (`Out_Grid_Block.py:69,84`). The norm params are owned
+            # here but applied inside the attention branch (fused into the
+            # Pallas kernel on TPU).
+            ls, lb = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
+                x, return_params=True)
             y = GridAttention2D(
                 dim=C,
                 num_heads=cfg.num_heads,
@@ -313,13 +379,16 @@ class OutGridBlock(nn.Module):
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name="grid_attn",
-            )(y, deterministic=deterministic, capture=capture)
+            )(x, deterministic=deterministic, capture=capture,
+              ln=(ls, lb, 1e-5))
             x = x + DropPath(cfg.drop_path, name="dp2")(y, deterministic=deterministic)
 
-        y = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        ls, lb = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(
+            x, return_params=True)
         y = ChannelMLP(dim=C, mlp_ratio=cfg.mlp_ratio, drop=cfg.ffn_drop,
-                       act=cfg.mlp_act, dtype=self.dtype, name="mlp")(
-            y, deterministic=deterministic)
+                       act=cfg.mlp_act, use_pallas=self.use_pallas,
+                       dtype=self.dtype, name="mlp")(
+            x, deterministic=deterministic, ln=(ls, lb, 1e-5))
         x = x + DropPath(cfg.drop_path, name="dp3")(y, deterministic=deterministic)
         return x
 
@@ -355,7 +424,8 @@ class GridOnlyBlock(nn.Module):
             )(x, train=train, deterministic=deterministic)
 
         if cfg.num_heads > 0:
-            y = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+            ls, lb = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
+                x, return_params=True)
             y = GridAttention2D(
                 dim=C,
                 num_heads=cfg.num_heads,
@@ -366,13 +436,16 @@ class GridOnlyBlock(nn.Module):
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name="grid_attn",
-            )(y, deterministic=deterministic, capture=capture)
+            )(x, deterministic=deterministic, capture=capture,
+              ln=(ls, lb, 1e-5))
             x = x + DropPath(cfg.drop_path, name="dp2")(y, deterministic=deterministic)
 
-        y = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        ls, lb = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(
+            x, return_params=True)
         y = ChannelMLP(dim=C, mlp_ratio=cfg.mlp_ratio, drop=cfg.ffn_drop,
-                       act=cfg.mlp_act, dtype=self.dtype, name="mlp")(
-            y, deterministic=deterministic)
+                       act=cfg.mlp_act, use_pallas=self.use_pallas,
+                       dtype=self.dtype, name="mlp")(
+            x, deterministic=deterministic, ln=(ls, lb, 1e-5))
         x = x + DropPath(cfg.drop_path, name="dp3")(y, deterministic=deterministic)
         return x
 

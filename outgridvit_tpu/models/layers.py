@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -68,28 +69,70 @@ class BatchNorm(nn.Module):
         return y.astype(x.dtype)
 
 
+class _LNScaleBias(nn.Module):
+    """Parameter holder for LayerNorm — same tree as ``nn.LayerNorm``
+    (leaves "scale"/"bias", fp32), so checkpoints are interchangeable."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return scale, bias
+
+
+def layernorm_fp32(x, scale, bias, eps):
+    """flax ``nn.LayerNorm`` numerics (fast variance clamped at 0, fp32
+    stats, scale folded into rsqrt), output cast back to ``x.dtype``."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(x32 * x32, axis=-1, keepdims=True)
+                      - mu * mu)
+    y = (x32 - mu) * (jax.lax.rsqrt(var + eps) * scale) + bias
+    return y.astype(x.dtype)
+
+
 class LayerNorm(nn.Module):
-    """Channel LayerNorm over the last axis; fp32 params.
+    """Channel LayerNorm over the last axis; fp32 params + fp32 stats.
 
     Replaces the reference's permute->LN->permute ``LayerNorm2d``
     (`src/model/outlook_attention.py:17-31`) — NHWC makes it a plain LN.
-    ``dtype=None`` (default) keeps fp32 compute (parity mode); pass the
-    block's compute dtype for bf16 norms in training (flax still upcasts
-    the mean/var reduction internally).
+    With ``return_params=True`` it returns the (scale, bias) parameters
+    instead of computing, so a caller can fuse the norm into a downstream
+    Pallas kernel (ops/attn_branch_pallas.py) while this module keeps owning
+    the parameters (tree: ``<name>/ln/{scale,bias}``, identical to the
+    ``nn.LayerNorm``-backed original).
     """
 
     epsilon: float = 1e-6
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
-        y = nn.LayerNorm(
-            epsilon=self.epsilon,
-            dtype=self.dtype or jnp.float32,
-            param_dtype=jnp.float32,
-            name="ln",
-        )(x)
-        return y.astype(x.dtype)
+    def __call__(self, x, return_params: bool = False):
+        scale, bias = _LNScaleBias(x.shape[-1], name="ln")()
+        if return_params:
+            return scale, bias
+        return layernorm_fp32(x, scale, bias, self.epsilon)
+
+
+class DenseParams(nn.Module):
+    """Parameter holder producing ``nn.Dense``'s exact tree/init
+    ("kernel" lecun-normal [in, out], optional zero "bias"), so fused Pallas
+    paths and plain XLA paths share checkpoints."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        return kernel, bias
 
 
 class ChannelMLP(nn.Module):
@@ -98,22 +141,63 @@ class ChannelMLP(nn.Module):
     Unifies the reference's ``MLP2d`` (1x1 convs, `outlook_attention.py:33-49`)
     and ``MLP`` (linears, `Out_Grid_Block.py:10-32`) — on NHWC they are the
     same operator.
+
+    Pass ``ln=(scale, bias, eps)`` to apply the pre-norm inside the branch:
+    on TPU the whole LN->fc1->act->fc2 then runs as ONE fused Pallas kernel
+    (ops/mlp_branch_pallas.py); elsewhere (or with dropout active) the same
+    math runs unfused. Parameter tree is unchanged ("fc1"/"fc2").
     """
 
     dim: int
     mlp_ratio: float = 4.0
     drop: float = 0.0
     act: str = "gelu"
+    use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, ln=None):
         hidden = max(1, int(self.dim * self.mlp_ratio))
         act = make_activation(self.act)
-        x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
+        C = x.shape[-1]
+        dt = self.dtype
+        w1, b1 = DenseParams(hidden, name="fc1")(C)
+        w2, b2 = DenseParams(self.dim, name="fc2")(hidden)
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and self.use_pallas is None:
+            import os
+
+            # measured net-negative in the full v5e train step (6236 vs 6341
+            # imgs/s, docs/PERFORMANCE.md) despite winning standalone —
+            # opt-in via OUTGRIDVIT_FUSED_MLP=1 pending a faster kernel
+            use_pallas = os.environ.get("OUTGRIDVIT_FUSED_MLP") in (
+                "1", "true")
+        dropout_active = self.drop > 0.0 and not deterministic
+        if use_pallas and not dropout_active:
+            from outgridvit_tpu.ops.mlp_branch_pallas import mlp_branch_pallas
+
+            if ln is not None:
+                ls, lb, eps = ln
+                apply_ln = True
+            else:
+                ls = jnp.ones((C,), jnp.float32)
+                lb = jnp.zeros((C,), jnp.float32)
+                eps, apply_ln = 1e-5, False
+            return mlp_branch_pallas(
+                x.astype(dt), ls, lb, w1.astype(dt), b1.astype(dt),
+                w2.astype(dt), b2.astype(dt), self.act.lower(), float(eps),
+                apply_ln)
+
+        if ln is not None:
+            ls, lb, eps = ln
+            x = layernorm_fp32(x, ls, lb, eps)
+        x = x.astype(dt) @ w1.astype(dt) + b1.astype(dt)
         x = act(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        x = x @ w2.astype(dt) + b2.astype(dt)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         return x
 

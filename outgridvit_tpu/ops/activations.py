@@ -8,11 +8,17 @@ defaults to exact; flax's default is the tanh approximation, which would break
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 from flax import linen as nn
 
 
+@functools.lru_cache(maxsize=None)
 def make_activation(act: str):
+    """Memoized so repeated lookups return the SAME callable — fused Pallas
+    branches close over the activation and key their custom-vjp tracing on
+    its identity."""
     act = act.lower()
     if act == "silu":
         return nn.silu

@@ -149,6 +149,15 @@ def _bwd_kernel(mask_ref, qkv_ref, do_ref, dqkv_ref, *, heads: int,
     ).astype(dqkv_ref.dtype)
 
 
+def _env_budget(name: str, default_kib: int) -> int:
+    import os
+
+    try:
+        return int(os.environ.get(name, default_kib))
+    except ValueError:
+        return default_kib
+
+
 def _pick_tile(G: int, PN: int, C: int, dtype, vmem_budget: int):
     """Tile size over the packed-group dim. Budget counts the
     double-buffered blocks plus the fp32 [gt, PN, PN] intermediates
@@ -176,7 +185,9 @@ def _fwd(qkv, heads):
     while Bgrp % P != 0 and P > 1:
         P //= 2
     G, PN = Bgrp // P, P * N
-    gt = _pick_tile(G, PN, C, qkv.dtype, vmem_budget=3 * 1024 * 1024)
+    gt = _pick_tile(G, PN, C, qkv.dtype,
+                    vmem_budget=int(_env_budget("OUTGRIDVIT_ATTN_FWD_KIB",
+                                                3072)) * 1024)
     mask = jnp.asarray(_block_mask(P, N))
     qkv2 = qkv.reshape(G, PN, C3)  # free: contiguous merge of P grids
     out2 = pl.pallas_call(
@@ -215,7 +226,9 @@ def _bwd_vjp(heads, res, do):
         P //= 2
     G, PN = Bgrp // P, P * N
     # the backward body holds ~3x the forward's intermediates per group
-    gt = _pick_tile(G, PN, C, qkv.dtype, vmem_budget=1024 * 1024)
+    gt = _pick_tile(G, PN, C, qkv.dtype,
+                    vmem_budget=int(_env_budget("OUTGRIDVIT_ATTN_BWD_KIB",
+                                                1024)) * 1024)
     mask = jnp.asarray(_block_mask(P, N))
     qkv2 = qkv.reshape(G, PN, C3)
     do2 = do.reshape(G, PN, C)
