@@ -1,0 +1,72 @@
+"""Env-gated fused-branch dispatch: module outputs must be identical math
+across all three attention paths (fused branch kernel / core kernel + XLA
+projections / plain XLA) and both MLP paths, sharing one param tree."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from outgridvit_tpu.models.blocks import MultiHeadSelfAttention
+from outgridvit_tpu.models.layers import ChannelMLP, LayerNorm
+
+
+@pytest.fixture()
+def ln_params():
+    C = 48
+    ls = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(3), (C,))
+    lb = 0.1 * jax.random.normal(jax.random.PRNGKey(4), (C,))
+    return ls, lb
+
+
+def test_mhsa_three_paths_agree(monkeypatch, ln_params):
+    ls, lb = ln_params
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 16, 48))
+    m_xla = MultiHeadSelfAttention(dim=48, num_heads=2, use_pallas=False)
+    m_pal = MultiHeadSelfAttention(dim=48, num_heads=2, use_pallas=True)
+    v = m_xla.init(jax.random.PRNGKey(1), x)
+
+    want = m_xla.apply(v, x, ln=(ls, lb, 1e-5))
+
+    monkeypatch.setenv("OUTGRIDVIT_FUSED_ATTN", "0")
+    with pltpu.force_tpu_interpret_mode():
+        got_core = m_pal.apply(v, x, ln=(ls, lb, 1e-5))
+    monkeypatch.setenv("OUTGRIDVIT_FUSED_ATTN", "1")
+    with pltpu.force_tpu_interpret_mode():
+        got_fused = m_pal.apply(v, x, ln=(ls, lb, 1e-5))
+
+    np.testing.assert_allclose(np.asarray(got_core), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_fused), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_mlp_env_dispatch_agrees(monkeypatch, ln_params):
+    ls, lb = ln_params
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 48))
+    m = ChannelMLP(dim=48, mlp_ratio=2.0)  # use_pallas=None -> env decides
+    v = m.init(jax.random.PRNGKey(1), x)
+
+    monkeypatch.setenv("OUTGRIDVIT_FUSED_MLP", "0")
+    want = m.apply(v, x, ln=(ls, lb, 1e-5))
+
+    monkeypatch.setenv("OUTGRIDVIT_FUSED_MLP", "1")
+    # env opt-in only matters on TPU backends; force the fused path
+    m_pal = ChannelMLP(dim=48, mlp_ratio=2.0, use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = m_pal.apply(v, x, ln=(ls, lb, 1e-5))
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_layernorm_return_params_matches_apply(ln_params):
+    ls, lb = ln_params
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 48))
+    ln = LayerNorm(epsilon=1e-5)
+    v = {"params": {"ln": {"scale": ls, "bias": lb}}}
+    s, b = ln.apply(v, x, return_params=True)
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(ls))
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(lb))
