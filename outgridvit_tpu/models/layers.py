@@ -164,20 +164,33 @@ class ChannelMLP(nn.Module):
         w1, b1 = DenseParams(hidden, name="fc1")(C)
         w2, b2 = DenseParams(self.dim, name="fc2")(hidden)
 
+        import os
+
+        # OUTGRIDVIT_FUSED_MLP modes (full-step A/Bs in docs/PERFORMANCE.md:
+        #   t 6658 / unfused 6339 / row 6236 imgs/s on v5e bs128):
+        #   t (default) transposed-layout kernel everywhere; 0 unfused XLA;
+        #   1/true row-layout kernel everywhere; tN (e.g. t48) transposed
+        #   kernel only for C <= N, unfused above.
+        mode = os.environ.get("OUTGRIDVIT_FUSED_MLP", "t").lower()
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
-        if use_pallas and self.use_pallas is None:
-            import os
-
-            # measured net-negative in the full v5e train step (6236 vs 6341
-            # imgs/s, docs/PERFORMANCE.md) despite winning standalone —
-            # opt-in via OUTGRIDVIT_FUSED_MLP=1 pending a faster kernel
-            use_pallas = os.environ.get("OUTGRIDVIT_FUSED_MLP") in (
-                "1", "true")
+            use_pallas = (jax.default_backend() == "tpu"
+                          and mode not in ("0", "false", ""))
+            if mode.startswith("t") and len(mode) > 1:
+                try:
+                    use_pallas = use_pallas and C <= int(mode[1:])
+                except ValueError:
+                    pass
         dropout_active = self.drop > 0.0 and not deterministic
         if use_pallas and not dropout_active:
-            from outgridvit_tpu.ops.mlp_branch_pallas import mlp_branch_pallas
+            if mode.startswith("t"):
+                from outgridvit_tpu.ops.mlp_branch_pallas_t import (
+                    mlp_branch_pallas_t as mlp_branch_pallas,
+                )
+            else:
+                from outgridvit_tpu.ops.mlp_branch_pallas import (
+                    mlp_branch_pallas,
+                )
 
             if ln is not None:
                 ls, lb, eps = ln

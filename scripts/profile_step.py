@@ -155,6 +155,9 @@ def main():
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--logdir", default="/tmp/outgridvit_profile")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--kind", default="",
+                    help="comma-separated HLO kind substrings to drill into "
+                         "(e.g. 'copy,convert_reduce')")
     args = ap.parse_args()
 
     import jax
@@ -202,6 +205,28 @@ def main():
     show(by_component, "by model component")
     show(by_cat, "by HLO op kind", 15)
     show(by_scope, "top scopes", args.top)
+
+    if args.kind:
+        # shape of each instruction, from the HLO text (lhs of the "=")
+        shape_of = {}
+        spat = re.compile(r"%?([\w.\-]+) = (\S+?)\s")
+        for line in hlo_text.splitlines():
+            m = spat.search(line.strip())
+            if m:
+                shape_of[m.group(1)] = m.group(2)
+        wanted = [k.strip() for k in args.kind.split(",")]
+        per_instr = collections.Counter()
+        for instr, ps in durations.items():
+            kind = re.sub(r"[.\d]+$", "", instr)
+            if any(w in kind for w in wanted):
+                per_instr[instr] += ps
+        print(f"\n== drill-down: kinds {wanted} ==")
+        for instr, ps in per_instr.most_common(args.top):
+            sc = scope.get(instr, "")
+            short = re.sub(
+                r"jit\([^)]*\)/|jvp\([^)]*\)/|transpose\([^)]*\)/", "", sc)
+            print(f"  {ps/1e9/args.steps:8.3f} ms/step  {instr[:40]:40s} "
+                  f"{shape_of.get(instr, '?'):28s} {short[:80]}")
 
 
 if __name__ == "__main__":
