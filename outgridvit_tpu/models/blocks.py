@@ -180,9 +180,19 @@ class MultiHeadSelfAttention(nn.Module):
                     wproj.astype(dt), bproj.astype(dt), heads, float(eps),
                     apply_ln)
             else:
-                from outgridvit_tpu.ops.grid_attention_pallas import (
-                    grid_mhsa_pallas,
-                )
+                # tiny grids (N<=8): lane-batched VPU kernel in XLA's own
+                # transposed layout (OUTGRIDVIT_ATTN_T=0 to disable); larger
+                # grids: block-packed MXU kernel
+                attn_t = (N <= 8 and os.environ.get(
+                    "OUTGRIDVIT_ATTN_T", "1") not in ("0", "false"))
+                if attn_t:
+                    from outgridvit_tpu.ops.grid_attention_pallas_t import (
+                        grid_mhsa_pallas_t as mhsa_kernel,
+                    )
+                else:
+                    from outgridvit_tpu.ops.grid_attention_pallas import (
+                        grid_mhsa_pallas as mhsa_kernel,
+                    )
 
                 if ln is not None:
                     ls, lb, eps = ln
@@ -190,7 +200,7 @@ class MultiHeadSelfAttention(nn.Module):
                 qkv = x.astype(dt) @ wqkv.astype(dt)
                 if bqkv is not None:
                     qkv = qkv + bqkv.astype(dt)
-                out = grid_mhsa_pallas(qkv, heads)
+                out = mhsa_kernel(qkv, heads)
                 out = out @ wproj.astype(dt) + bproj.astype(dt)
         else:
             if ln is not None:

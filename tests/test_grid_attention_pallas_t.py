@@ -1,0 +1,86 @@
+"""Lane-batched tiny-grid MHSA kernel (interpret mode, CPU).
+
+Validates ops/grid_attention_pallas_t.py — the default TPU attention core
+for N<=8 token grids since the layout redesign — against the plain XLA
+einsum formulation, forward and backward, across the head/channel combos
+Model A/B actually use (stages 1-3 all have N=4 tokens per grid; N=8
+covers the dispatch boundary).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from outgridvit_tpu.ops.grid_attention_pallas_t import grid_mhsa_pallas_t
+
+
+def _xla_ref(qkv, heads):
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // heads
+    q3 = qkv.reshape(B, N, 3, heads, hd)
+    q, k, v = q3[:, :, 0], q3[:, :, 1], q3[:, :, 2]
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                      preferred_element_type=jnp.float32) * hd**-0.5
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(qkv.dtype), v,
+                     preferred_element_type=jnp.float32).astype(qkv.dtype)
+    return out.reshape(B, N, C)
+
+
+@pytest.mark.parametrize("B,N,C,heads", [
+    (64, 4, 96, 3),    # stage-1 shape family
+    (32, 4, 192, 6),   # stage-2
+    (16, 4, 256, 8),   # stage-3
+    (16, 8, 48, 2),    # N=8 dispatch edge
+])
+def test_lane_batched_mhsa_forward(B, N, C, heads):
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C),
+                            jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = grid_mhsa_pallas_t(qkv, heads)
+    want = _xla_ref(qkv, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_lane_batched_mhsa_grads():
+    qkv = jax.random.normal(jax.random.PRNGKey(1), (64, 4, 3 * 96),
+                            jnp.float32)
+
+    def loss_pal(x):
+        return jnp.sum(grid_mhsa_pallas_t(x, 3).astype(jnp.float32) ** 2)
+
+    def loss_ref(x):
+        return jnp.sum(_xla_ref(x, 3).astype(jnp.float32) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_pal)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_lane_batched_mhsa_multitile(monkeypatch):
+    # tiny budget forces multiple lane tiles
+    monkeypatch.setenv("OUTGRIDVIT_ATTN_T_FWD_KIB", "512")
+    monkeypatch.setenv("OUTGRIDVIT_ATTN_T_BWD_KIB", "512")
+    qkv = jax.random.normal(jax.random.PRNGKey(2), (256, 4, 3 * 96),
+                            jnp.float32)
+
+    def loss_pal(x):
+        return jnp.sum(grid_mhsa_pallas_t(x, 3).astype(jnp.float32) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = grid_mhsa_pallas_t(qkv, 3)
+        g1 = jax.grad(loss_pal)(qkv)
+    want = _xla_ref(qkv, 3)
+    g2 = jax.grad(
+        lambda x: jnp.sum(_xla_ref(x, 3).astype(jnp.float32) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=2e-3, rtol=2e-3)
