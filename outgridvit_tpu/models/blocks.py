@@ -180,10 +180,11 @@ class MultiHeadSelfAttention(nn.Module):
                     wproj.astype(dt), bproj.astype(dt), heads, float(eps),
                     apply_ln)
             else:
-                # tiny grids (N<=8): lane-batched VPU kernel in XLA's own
-                # transposed layout (OUTGRIDVIT_ATTN_T=0 to disable); larger
-                # grids: block-packed MXU kernel
-                attn_t = (N <= 8 and os.environ.get(
+                # small grids (N<=16, i.e. every stage of the 32px models):
+                # lane-batched VPU kernel in XLA's own transposed layout
+                # (OUTGRIDVIT_ATTN_T=0 to disable); larger grids:
+                # block-packed MXU kernel
+                attn_t = (N <= 16 and os.environ.get(
                     "OUTGRIDVIT_ATTN_T", "1") not in ("0", "false"))
                 if attn_t:
                     from outgridvit_tpu.ops.grid_attention_pallas_t import (

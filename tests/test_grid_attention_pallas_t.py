@@ -1,10 +1,9 @@
 """Lane-batched tiny-grid MHSA kernel (interpret mode, CPU).
 
 Validates ops/grid_attention_pallas_t.py — the default TPU attention core
-for N<=8 token grids since the layout redesign — against the plain XLA
+for N<=16 token grids since the layout redesign — against the plain XLA
 einsum formulation, forward and backward, across the head/channel combos
-Model A/B actually use (stages 1-3 all have N=4 tokens per grid; N=8
-covers the dispatch boundary).
+Model A/B actually use (stage 0: N=16 tokens per grid; stages 1-3: N=4).
 """
 
 import jax
@@ -35,7 +34,8 @@ def _xla_ref(qkv, heads):
     (64, 4, 96, 3),    # stage-1 shape family
     (32, 4, 192, 6),   # stage-2
     (16, 4, 256, 8),   # stage-3
-    (16, 8, 48, 2),    # N=8 dispatch edge
+    (16, 8, 48, 2),    # N=8
+    (16, 16, 48, 2),   # stage-0 (N=16 dispatch edge)
 ])
 def test_lane_batched_mhsa_forward(B, N, C, heads):
     qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C),
