@@ -215,6 +215,49 @@ class ChannelMLP(nn.Module):
         return x
 
 
+class _DepthwiseConv3x3(nn.Module):
+    """Depthwise 3x3 with ``nn.Conv``'s exact param tree ("kernel"
+    [3,3,1,C] lecun-normal, optional zero "bias").
+
+    A transposed-layout Pallas stencil exists (ops/dwconv_pallas_t.py) but
+    measured ~4x SLOWER than XLA's conv lowering standalone on every stage
+    shape (docs/PERFORMANCE.md negative results: the 9-tap shift-mac is
+    VPU-op-bound while XLA rides the MXU), so the default is the plain XLA
+    ``conv_general_dilated``; OUTGRIDVIT_DW_T=1 opts into the kernel."""
+
+    features: int
+    stride: int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = self.features
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 1, C), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+                if self.use_bias else None)
+        dt = self.dtype
+        import os
+
+        use_t = (self.stride == 1 and jax.default_backend() == "tpu"
+                 and os.environ.get("OUTGRIDVIT_DW_T", "0")
+                 in ("1", "true"))
+        if use_t:
+            from outgridvit_tpu.ops.dwconv_pallas_t import dwconv3x3_t
+
+            y = dwconv3x3_t(x.astype(dt), kernel.reshape(3, 3, C).astype(dt))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), kernel.astype(dt),
+                (self.stride, self.stride), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=C)
+        if bias is not None:
+            y = y + bias.astype(dt)
+        return y
+
+
 class SqueezeExcite(nn.Module):
     """Squeeze-and-excitation gate (reference `src/model/mbc_conv.py:9-27`)."""
 
@@ -267,16 +310,8 @@ class MBConv(nn.Module):
                 out = BatchNorm(name="expand_bn")(out, use_running_average=not train)
             out = act(out)
 
-        out = nn.Conv(
-            mid,
-            (3, 3),
-            strides=(self.stride, self.stride),
-            padding=((1, 1), (1, 1)),
-            feature_group_count=mid,
-            use_bias=not use_bn,
-            dtype=self.dtype,
-            name="depthwise",
-        )(out)
+        out = _DepthwiseConv3x3(mid, stride=self.stride, use_bias=not use_bn,
+                                dtype=self.dtype, name="depthwise")(out)
         if use_bn:
             out = BatchNorm(name="depthwise_bn")(out, use_running_average=not train)
         out = act(out)
