@@ -243,10 +243,28 @@ class _DepthwiseConv3x3(nn.Module):
         use_t = (self.stride == 1 and jax.default_backend() == "tpu"
                  and os.environ.get("OUTGRIDVIT_DW_T", "0")
                  in ("1", "true"))
+        use_taps = (self.stride == 1
+                    and os.environ.get("OUTGRIDVIT_DW_XLA_TAPS", "0")
+                    in ("1", "true"))
         if use_t:
             from outgridvit_tpu.ops.dwconv_pallas_t import dwconv3x3_t
 
             y = dwconv3x3_t(x.astype(dt), kernel.reshape(3, 3, C).astype(dt))
+        elif use_taps:
+            # 9 shifted slices x per-channel scalar, pure elementwise XLA —
+            # avoids the conv op entirely (and with it XLA's conv-driven
+            # layout choice for the surrounding activations)
+            xb = x.astype(dt)
+            B, H, W, _ = xb.shape
+            xp = jnp.pad(xb, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            k9 = kernel.reshape(9, C).astype(jnp.float32)
+            acc = jnp.zeros((B, H, W, C), jnp.float32)
+            for t in range(9):
+                ky, kx = divmod(t, 3)
+                tap = jax.lax.slice(
+                    xp, (0, ky, kx, 0), (B, ky + H, kx + W, C))
+                acc = acc + tap.astype(jnp.float32) * k9[t]
+            y = acc.astype(dt)
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(dt), kernel.astype(dt),
