@@ -172,9 +172,8 @@ class Prefetcher:
         self.depth = depth
 
     def __iter__(self):
-        import collections
-
-        buf = collections.deque()
+        import queue
+        import threading
 
         def put_one(a):
             s = self.sharding(a) if callable(self.sharding) else self.sharding
@@ -188,13 +187,27 @@ class Prefetcher:
                     pass
             return self._jax.device_put(a)
 
-        def put(batch):
-            x, y = batch
-            buf.append((put_one(x), put_one(y)))
+        # the host->device transfer runs on its own thread (device_put
+        # releases the GIL) so it overlaps with the consumer's dispatch —
+        # on a tunneled/dev device the synchronous put was serializing
+        # ~30 ms/superstep against the train loop
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, self.depth))
+        done = object()
 
-        for batch in self.it:
-            put(batch)
-            if len(buf) >= self.depth:
-                yield buf.popleft()
-        while buf:
-            yield buf.popleft()
+        def worker():
+            try:
+                for x, y in self.it:
+                    q.put((put_one(x), put_one(y)))
+                q.put(done)
+            except BaseException as e:  # surface in the consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
