@@ -137,8 +137,14 @@ def _bwd_kernel(x_ref, ls_ref, lb_ref, w1_ref, w1t_ref, w2_ref, b1_ref,
 
 def _pick_cols(M: int, C: int, H: int, dtype, fixed: int, budget: int,
                nbufs: int):
-    """Lane-tile size: multiple of 128 dividing M."""
-    per_col = nbufs * C * dtype.itemsize * 2 + 4 * H * 4 + 4 * C * 4
+    """Lane-tile size: multiple of 128 dividing M.
+
+    The budget is the REAL 16 MiB scoped-VMEM ceiling minus margin, so the
+    per-lane estimate must cover the Mosaic stack too: measured ~3.5
+    fp32 values live per (C+H) row across fwd and bwd (calibrated on the
+    C=48/H=144 and C=64/H=256 stage shapes; the old 4*(C+H) io-only
+    estimate let the 64px config overflow the ceiling by 0.5 MiB)."""
+    per_col = nbufs * C * dtype.itemsize * 2 + 14 * (C + H)
     mt = max(128, (budget - fixed) // max(1, per_col))
     mt = min(mt, M, 8192)
     mt -= mt % 128
@@ -170,9 +176,8 @@ def _mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, act, eps, apply_ln):
         M *= d
     xt = x.reshape(M, C).T  # [C, M]; physically XLA's preferred form
     fixed = 2 * C * H * w1.dtype.itemsize
-    # 24 MiB swept best on v5e (docs/PERFORMANCE.md); 48 MiB OOMs VMEM
     mt = _pick_cols(M, C, H, x.dtype, fixed,
-                    _env_kib("OUTGRIDVIT_MLP_FWD_KIB", 24576) * 1024, nbufs=2)
+                    _env_kib("OUTGRIDVIT_MLP_FWD_KIB", 15360) * 1024, nbufs=2)
     ls2 = ln_scale.reshape(C, 1).astype(jnp.float32)
     lb2 = ln_bias.reshape(C, 1).astype(jnp.float32)
     const = lambda i: (0, 0)  # noqa: E731
@@ -213,7 +218,7 @@ def _mlp_bwd(act, eps, apply_ln, res, dy):
     dyt = dy.reshape(M, C).T
     fixed = 3 * C * H * (w1.dtype.itemsize + 4)
     mt = _pick_cols(M, C, H, x.dtype, fixed,
-                    _env_kib("OUTGRIDVIT_MLP_BWD_KIB", 24576) * 1024, nbufs=3)
+                    _env_kib("OUTGRIDVIT_MLP_BWD_KIB", 15360) * 1024, nbufs=3)
     ls2 = ln_scale.reshape(C, 1).astype(jnp.float32)
     lb2 = ln_bias.reshape(C, 1).astype(jnp.float32)
     const = lambda i: (0, 0)  # noqa: E731
