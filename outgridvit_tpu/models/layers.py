@@ -182,6 +182,14 @@ class ChannelMLP(nn.Module):
                 except ValueError:
                     pass
         dropout_active = self.drop > 0.0 and not deterministic
+        if use_pallas and mode.startswith("t"):
+            from outgridvit_tpu.ops.mlp_branch_pallas_t import mlp_t_fits
+
+            M = 1
+            for d in x.shape[:-1]:
+                M *= d
+            if not mlp_t_fits(M, C, hidden, dt):
+                use_pallas = False  # awkward token count: unfused XLA
         if use_pallas and not dropout_active:
             if mode.startswith("t"):
                 from outgridvit_tpu.ops.mlp_branch_pallas_t import (

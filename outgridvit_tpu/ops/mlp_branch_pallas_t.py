@@ -152,7 +152,30 @@ def _pick_cols(M: int, C: int, H: int, dtype, fixed: int, budget: int,
         mt -= 128
     if mt < 128 or M % mt != 0:
         mt = M  # small inputs: single tile
+        if M % 128 != 0 and mt * per_col + fixed > budget:
+            # M is not lane-divisible, so the ONLY tiling is one big tile —
+            # and it does not fit scoped VMEM (e.g. a ViT's B*65 tokens at
+            # C=384/H=1536). Signal infeasible; the module layer falls back
+            # to unfused XLA.
+            return 0
     return mt
+
+
+def mlp_t_fits(M: int, C: int, H: int, dtype=jnp.bfloat16) -> bool:
+    """True if the transposed kernel can tile [M, C]->[M, C] (hidden H)
+    within the scoped-VMEM budget, fwd AND bwd. The module layer uses this
+    to fall back to unfused XLA for awkward token counts (e.g. a ViT's
+    B*65 tokens are not lane-divisible, and a single-tile block may not
+    fit)."""
+    dt = jnp.dtype(dtype)
+    fixed_f = 2 * C * H * dt.itemsize
+    fixed_b = 3 * C * H * (dt.itemsize + 4)
+    return (_pick_cols(M, C, H, dt, fixed_f,
+                       _env_kib("OUTGRIDVIT_MLP_FWD_KIB", 15360) * 1024,
+                       nbufs=2) > 0
+            and _pick_cols(M, C, H, dt, fixed_b,
+                           _env_kib("OUTGRIDVIT_MLP_BWD_KIB", 15360) * 1024,
+                           nbufs=3) > 0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
