@@ -23,7 +23,9 @@ def ln_params():
 
 def test_mhsa_three_paths_agree(monkeypatch, ln_params):
     ls, lb = ln_params
-    x = jax.random.normal(jax.random.PRNGKey(0), (16, 16, 48))
+    # N=4 keeps the interpret-mode N^2 unroll cheap; N=16 kernel coverage
+    # lives in test_grid_attention_pallas_t.py
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 4, 48))
     m_xla = MultiHeadSelfAttention(dim=48, num_heads=2, use_pallas=False)
     m_pal = MultiHeadSelfAttention(dim=48, num_heads=2, use_pallas=True)
     v = m_xla.init(jax.random.PRNGKey(1), x)

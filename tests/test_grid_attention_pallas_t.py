@@ -35,7 +35,8 @@ def _xla_ref(qkv, heads):
     (32, 4, 192, 6),   # stage-2
     (16, 4, 256, 8),   # stage-3
     (16, 8, 48, 2),    # N=8
-    (16, 16, 48, 2),   # stage-0 (N=16 dispatch edge)
+    (4, 16, 48, 2),    # stage-0 (N=16 dispatch edge; small B — the
+                       # interpret-mode unroll is 256 pairs)
 ])
 def test_lane_batched_mhsa_forward(B, N, C, heads):
     qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C),

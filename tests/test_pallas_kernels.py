@@ -61,7 +61,11 @@ def test_mhsa_module_pallas_param_compat():
     (checkpoints interchangeable)."""
     from outgridvit_tpu.models.blocks import MultiHeadSelfAttention
 
-    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 48))
+    # N=4 grids: the param-tree/path-agreement property is shape-independent
+    # and the N<=16 interpret-mode kernel unrolls N^2 pairs (N=16 cost 50 s
+    # of suite time here; kernel-level N=16 coverage lives in
+    # test_grid_attention_pallas_t.py)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 48))
     m_xla = MultiHeadSelfAttention(dim=48, num_heads=2, use_pallas=False)
     m_pal = MultiHeadSelfAttention(dim=48, num_heads=2, use_pallas=True)
     v_xla = m_xla.init(jax.random.PRNGKey(1), x)
