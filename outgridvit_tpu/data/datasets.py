@@ -87,7 +87,14 @@ def _make_loaders(
             random_erasing_p, crop_pad=crop_pad, enable_augs=enable_augs,
         )
         aug_cfg = None
-    eval_tf = EvalTransform(img_size, mean, std)
+    if device_augment:
+        # eval batches also travel uint8 (4x less host->device traffic) and
+        # normalize inside the jitted eval step (ops/augment.py)
+        eval_tf = RawTransform(img_size)
+        norm_cfg = (tuple(mean), tuple(std))
+    else:
+        eval_tf = EvalTransform(img_size, mean, std)
+        norm_cfg = None
 
     tr_idx, va_idx = _split_train_val(len(train_labels), val_split, seed)
     train_loader = ArrayDataLoader(
@@ -107,11 +114,13 @@ def _make_loaders(
             batch_size=batch_size, shuffle=False, transform=eval_tf, seed=seed,
             num_threads=num_threads,
         )
+        val_loader.device_normalize = norm_cfg
     test_loader = ArrayDataLoader(
         test_images, np.asarray(test_labels),
         batch_size=batch_size, shuffle=False, transform=eval_tf, seed=seed,
         num_threads=num_threads,
     )
+    test_loader.device_normalize = norm_cfg
     return train_loader, val_loader, test_loader
 
 
@@ -339,6 +348,7 @@ def get_synthetic_dataloaders(
             mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25),
             crop_pad=max(4, img_size // 8),
         )
+        loader.device_normalize = ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25))
     return loader, None, None
 
 

@@ -70,20 +70,33 @@ def evaluate_one_epoch_logs(
     if model_fn is not None and example_batch is not None:
         flops = flops_of(model_fn, example_batch)
 
+    # Pipelined epoch: batches are dispatched back-to-back with NO per-batch
+    # host sync (a per-batch float() costs a full device round trip — on a
+    # tunneled device that is ~70 ms/batch and dominates the measurement;
+    # the reference's CUDA-event timing has no such cost,
+    # `eval_one_epoch_logs.py:120-160`). The timer starts after the first
+    # ``warmup_batches`` complete (compile excluded) and stops on a final
+    # block, so ms/batch = timed window / timed batches is device-honest.
     device_metrics = []
     sizes = []
-    batch_times = []
     t_epoch0 = time.perf_counter()
+    t_warm = t_epoch0
+    timed_batches = 0
     for bi, batch in enumerate(Prefetcher(iter(loader), sharding=data_shard)):
-        t0 = time.perf_counter()
         m = eval_step(state.params, state.batch_stats, batch)
-        float(m["loss"])  # blocks: device-synced ms/batch timing
-        t1 = time.perf_counter()
         device_metrics.append(m)
         sizes.append(batch[1].shape[0])
-        if bi >= warmup_batches:
-            batch_times.append(t1 - t0)
-    epoch_s = time.perf_counter() - t_epoch0
+        if bi == warmup_batches - 1:
+            float(m["loss"])  # drain warmup+compile, then start the clock
+            t_warm = time.perf_counter()
+        elif bi >= warmup_batches:
+            timed_batches += 1
+    if device_metrics:
+        float(device_metrics[-1]["loss"])  # block on the whole chain
+    t_end = time.perf_counter()
+    epoch_s = t_end - t_epoch0
+    batch_times = ([(t_end - t_warm) / timed_batches] if timed_batches
+                   else [])
 
     # top-k stay device-side during the loop; one bulk fetch afterwards
     # (per-scalar float() is a host round trip each, see loop.drain())
@@ -106,7 +119,10 @@ def evaluate_one_epoch_logs(
         "top1": totals["top1"] / max(1, n),
         "top3": totals["top3"] / max(1, n),
         "top5": totals["top5"] / max(1, n),
-        "imgs_per_sec": n / max(epoch_s, 1e-9),
+        # steady-state rate over the post-warmup window (compile excluded;
+        # whole-epoch wall time incl. compile is in epoch_seconds)
+        "imgs_per_sec": (sum(sizes[warmup_batches:]) / max(t_end - t_warm, 1e-9)
+                         if timed_batches else n / max(epoch_s, 1e-9)),
         "ms_per_batch": 1000.0 * float(np.mean(batch_times)) if batch_times else float("nan"),
         "epoch_seconds": epoch_s,
         "num_images": n,

@@ -174,7 +174,9 @@ def train_model(
         else None
     )
     super_shard = superbatch_sharding(mesh)
-    eval_step = make_eval_step(model.apply, label_smoothing=0.0)
+    eval_step = make_eval_step(
+        model.apply, label_smoothing=0.0,
+        normalize=getattr(val_loader, "device_normalize", None))
     base_rng = jax.random.PRNGKey(seed)
 
     # ---- resume / best tracking (reference `train_full_model.py:73-103`)

@@ -69,7 +69,8 @@ def main() -> int:
         print(f"Loaded {args.checkpoint}")
 
     mesh = make_mesh()
-    eval_step = make_eval_step(model.apply)
+    eval_step = make_eval_step(
+        model.apply, normalize=getattr(loader, "device_normalize", None))
     metrics = evaluate_one_epoch_logs(
         eval_step, state, loader, data_shard=batch_sharding(mesh),
         model_fn=lambda x: model.apply(

@@ -190,3 +190,48 @@ def test_augment_train_batch_end_to_end():
         jax.random.PRNGKey(0), jnp.asarray(imgs), cfg_off))
     want = (imgs.astype(np.float32) / 255.0 - 0.5) / 0.25
     np.testing.assert_allclose(out_off, want, rtol=1e-5)
+
+
+def test_eval_device_normalize_matches_host_eval_path():
+    """device_augment loaders ship uint8 EVAL batches + a device_normalize
+    marker; make_eval_step(normalize=...) must equal the host EvalTransform
+    -> eval_step path exactly (same uint8 resize, twin normalizes)."""
+    import jax.numpy as jnp
+
+    from outgridvit_tpu.data import transforms as T
+    from outgridvit_tpu.ops import augment as A
+    from outgridvit_tpu.training.steps import make_eval_step
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    mean, std = (0.5, 0.4, 0.45), (0.25, 0.2, 0.3)
+
+    def apply_fn(variables, x, train=False):
+        # identity "model": logits are channel means, enough to compare paths
+        return jnp.mean(x, axis=(1, 2))
+
+    host = np.stack([T.normalize(im, mean, std) for im in imgs])
+    labels = np.zeros((4,), np.int64)
+    es_host = make_eval_step(apply_fn, jit=False)
+    es_dev = make_eval_step(apply_fn, jit=False, normalize=(mean, std))
+    m_host = es_host({}, {}, (jnp.asarray(host), jnp.asarray(labels)))
+    m_dev = es_dev({}, {}, (jnp.asarray(imgs.astype(np.int32)),
+                            jnp.asarray(labels)))
+    np.testing.assert_allclose(np.asarray(m_host["loss"]),
+                               np.asarray(m_dev["loss"]), rtol=1e-6)
+
+
+def test_make_loaders_eval_device_normalize_marker():
+    from outgridvit_tpu.data.datasets import _make_loaders
+
+    rng = np.random.default_rng(1)
+    xtr = rng.integers(0, 256, (32, 16, 16, 3), dtype=np.uint8)
+    xte = rng.integers(0, 256, (16, 16, 16, 3), dtype=np.uint8)
+    tr, va, te = _make_loaders(
+        xtr, np.zeros(32, np.int64), xte, np.zeros(16, np.int64),
+        native_size=16, mean=(0.5,) * 3, std=(0.25,) * 3, batch_size=8,
+        val_split=0.25, seed=0, img_size=16, device_augment=True)
+    assert te.device_normalize == ((0.5,) * 3, (0.25,) * 3)
+    assert va.device_normalize == ((0.5,) * 3, (0.25,) * 3)
+    xb, _ = next(iter(te))
+    assert xb.dtype == np.uint8  # raw on the wire
