@@ -74,16 +74,24 @@ def main() -> int:
     eval_step = make_eval_step(model.apply)
 
     def evaluate_one_epoch_fn(loader):
-        totals = {"loss": 0.0, "top1": 0.0, "top3": 0.0, "top5": 0.0}
-        n = 0
+        # metrics stay device-side during the epoch; ONE bulk fetch at the
+        # end (a per-batch float() is 4 host round trips per batch — ruinous
+        # over remote-device links, same rationale as loop._run_eval)
+        import jax
+
+        device_metrics, sizes = [], []
         for batch in Prefetcher(iter(loader), sharding=shard):
-            m = eval_step(state.params, state.batch_stats, batch)
-            b = batch[1].shape[0]
-            for k in totals:
-                totals[k] += float(m[k]) * b
-            n += b
-        loss = totals.pop("loss") / max(1, n)
-        return loss, {k: v / max(1, n) for k, v in totals.items()}
+            device_metrics.append(
+                eval_step(state.params, state.batch_stats, batch))
+            sizes.append(batch[1].shape[0])
+        fetched = jax.device_get(device_metrics)
+        n = max(1, sum(sizes))
+        totals = {
+            k: sum(float(d[k]) * b for d, b in zip(fetched, sizes)) / n
+            for k in ("loss", "top1", "top3", "top5")
+        }
+        loss = totals.pop("loss")
+        return loss, totals
 
     if args.suite == "cifar100c":
         rows = evaluate_cifar100c_suite(
