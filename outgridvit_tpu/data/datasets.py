@@ -317,6 +317,56 @@ def get_tinyimagenet200_hf_dataloaders(
 
 # ----------------------------------------------------------------- synthetic
 
+def get_synthetic_structured_dataloaders(
+    batch_size: int = 128,
+    num_samples: int = 51200,
+    img_size: int = 32,
+    num_classes: int = 100,
+    seed: int = 7,
+    val_split: float = 0.1,
+    noise: float = 80.0,
+    device_augment: bool = True,
+    **_,
+):
+    """LEARNABLE synthetic dataset: accuracy-dynamics evidence without real
+    data (docs/PARITY.md "accuracy evidence").
+
+    Each class is a fixed random low-frequency prototype image; every sample
+    is its class prototype under heavy pixel noise, a random brightness
+    shift, and a random roll. Train/val/test are DISJOINT DRAWS from the
+    same generative process, so val/test accuracy measures generalization
+    (prototype learning through the full recipe — device RandAugment,
+    mixup/cutmix, schedule — not memorization). Goes through the standard
+    ``_make_loaders`` path like every real dataset.
+    """
+    rng = np.random.default_rng(seed)
+    # low-frequency prototypes: upsampled 8x8 noise, strong class signal
+    small = rng.uniform(40, 215, (num_classes, 8, 8, 3))
+    reps = img_size // 8 + (img_size % 8 > 0)
+    protos = np.kron(small, np.ones((1, reps, reps, 1)))[:, :img_size,
+                                                         :img_size]
+
+    def draw(n, r):
+        y = r.integers(0, num_classes, size=(n,)).astype(np.int64)
+        x = protos[y]
+        x = x + r.normal(0.0, noise, x.shape)
+        x = x + r.uniform(-25, 25, (n, 1, 1, 1))
+        shift = r.integers(-4, 5, size=(n, 2))
+        x = np.stack([np.roll(im, tuple(s), axis=(0, 1))
+                      for im, s in zip(x, shift)])
+        return np.clip(x, 0, 255).astype(np.uint8), y
+
+    xtr, ytr = draw(num_samples, rng)
+    xte, yte = draw(max(1000, num_samples // 10),
+                    np.random.default_rng(seed + 1))
+    return _make_loaders(
+        xtr, ytr, xte, yte, native_size=img_size,
+        mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25),
+        batch_size=batch_size, val_split=val_split, seed=seed,
+        img_size=img_size, device_augment=device_augment,
+    )
+
+
 def get_synthetic_dataloaders(
     batch_size: int = 64,
     num_samples: int = 256,

@@ -65,7 +65,18 @@ def build_dataloaders(
             seed=data_seed,
             device_augment=bool(data_cfg.get("device_augment", False)),
         )
+    if dataset == "synthetic_structured":
+        return D.get_synthetic_structured_dataloaders(
+            batch_size=batch_size,
+            num_samples=int(data_cfg.get("num_samples", 51200)),
+            img_size=int(data_cfg.get("img_size", 32)),
+            num_classes=num_classes,
+            seed=data_seed,
+            val_split=float(data_cfg.get("val_split", 0.1)),
+            noise=float(data_cfg.get("noise", 80.0)),
+            device_augment=bool(data_cfg.get("device_augment", True)),
+        )
     raise ValueError(
         "data.dataset must be 'cifar100', 'svhn', 'tinyimagenet200', "
-        "'food101', 'oxfordpets', or 'synthetic'"
+        "'food101', 'oxfordpets', 'synthetic', or 'synthetic_structured'"
     )

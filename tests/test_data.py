@@ -231,3 +231,29 @@ def test_oxfordpets_loader_directory_fixture(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         get_oxfordpets_dataloaders(data_dir=str(tmp_path / "nope"))
+
+
+def test_synthetic_structured_loaders():
+    """Learnable-synthetic dataset: correct shapes/dtypes, device-augment
+    markers, and class signal (same-class samples closer than cross-class)."""
+    import numpy as np
+
+    from outgridvit_tpu.data.datasets import (
+        get_synthetic_structured_dataloaders,
+    )
+
+    tr, va, te = get_synthetic_structured_dataloaders(
+        batch_size=32, num_samples=256, img_size=32, num_classes=10,
+        seed=0, val_split=0.25, noise=30.0)
+    xb, yb = next(iter(tr))
+    assert xb.shape == (32, 32, 32, 3) and xb.dtype == np.uint8
+    assert tr.device_augment is not None
+    assert va.device_normalize is not None and te.device_normalize is not None
+
+    # class signal: mean same-class distance < mean cross-class distance
+    xs, ys = next(iter(te))
+    xf = xs.astype(np.float32).reshape(len(xs), -1)
+    d = np.linalg.norm(xf[:, None] - xf[None, :], axis=-1)
+    same = ys[:, None] == ys[None, :]
+    off = ~np.eye(len(xs), dtype=bool)
+    assert d[same & off].mean() < d[~same].mean()
