@@ -46,10 +46,18 @@ def capture_attention(model, variables, x, grid_sizes=None) -> Dict[Tuple, dict]
       grid_sizes: optional {stage_idx: g}; defaults to the model's stage cfgs.
     Returns: dict keyed (stage:int|"front", block:int).
     """
-    _, aux = model.apply(
-        variables, x, train=False, capture=True, mutable=["intermediates"]
-    )
-    inter = aux["intermediates"]
+    # jit the capture forward: eager apply dispatches every op separately,
+    # which is minutes (not seconds) over a tunneled/remote device
+    import jax
+
+    @jax.jit
+    def _fwd(variables, x):
+        return model.apply(
+            variables, x, train=False, capture=True,
+            mutable=["intermediates"])
+
+    _, aux = _fwd(variables, x)
+    inter = jax.device_get(aux["intermediates"])
 
     if grid_sizes is None:
         grid_sizes = {
