@@ -80,3 +80,24 @@ def load_checkpoint(path: str, state=None) -> Dict[str, Any]:
     else:
         out["state"] = tree
     return out
+
+
+def load_model_variables(path: str, variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore ONLY params/batch_stats from a checkpoint into ``variables``.
+
+    For eval-only consumers (benchmark/robustness/analysis CLIs): the
+    checkpoint's optimizer state is ignored, so the caller's throwaway
+    optimizer need not match the training-time optimizer tree."""
+    raw = load_checkpoint(path)["state"]
+    template = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+    restored = serialization.from_state_dict(
+        template,
+        {"params": raw["params"], "batch_stats": raw.get("batch_stats", {})},
+    )
+    out = dict(variables)
+    out["params"] = restored["params"]
+    out["batch_stats"] = restored["batch_stats"]
+    return out

@@ -64,9 +64,11 @@ def main() -> int:
         apply_fn=model.apply, params=variables["params"],
         batch_stats=variables.get("batch_stats", {}), tx=make_optimizer(1e-3))
     if args.checkpoint:
-        from outgridvit_tpu.training.checkpoints import load_checkpoint
+        from outgridvit_tpu.training.checkpoints import load_model_variables
 
-        state = load_checkpoint(args.checkpoint, state)["state"]
+        variables = load_model_variables(args.checkpoint, dict(variables))
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables.get("batch_stats", {}))
         print(f"Loaded {args.checkpoint}")
 
     mesh = make_mesh()
