@@ -18,6 +18,11 @@ is >=5x the 1131.8 figure.
 Env knobs: BENCH_BATCH (128), BENCH_STEPS (100, counted in single steps),
 BENCH_K (8 scanned steps/dispatch; 1 = legacy single-step), BENCH_AUGMENT
 (1; 0 = pre-normalized float inputs, no in-jit augmentation).
+
+Expect ~5-7 min of warmup on the axon dev platform (printed to stderr):
+the remote compiler does not persist executables across processes, so the
+full superstep program recompiles every run. The measurement window itself
+is a few seconds.
 """
 
 import json
@@ -140,9 +145,12 @@ def main() -> int:
     base = jax.random.PRNGKey(2)
     n_dispatch_warmup = max(1, warmup // k_disp)
     n_dispatch = max(1, steps // k_disp)
+    t_c0 = time.perf_counter()
     for i in range(n_dispatch_warmup):
         state, m = step_fn(state, batches[i % 4], base)
     hard_sync(state, m)
+    print(f"[bench] warmup+compile {time.perf_counter() - t_c0:.1f}s",
+          file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(n_dispatch):
