@@ -103,6 +103,9 @@ def make_train_step(cfg: StepConfig, lr_schedule=None, jit: bool = True,
                 lambda n, o: jnp.where(finite, n, o), new, old
             )
 
+        # (a masked-update variant for params — p + u*finite — benched
+        # identical to the select at 8.55k imgs/s; keeping the simpler
+        # uniform select)
         new_state = state.replace(
             step=state.step + 1,
             params=select(new_params, state.params),
