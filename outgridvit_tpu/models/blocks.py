@@ -182,10 +182,15 @@ class MultiHeadSelfAttention(nn.Module):
             else:
                 # small grids (N<=16, i.e. every stage of the 32px models):
                 # lane-batched VPU kernel in XLA's own transposed layout
-                # (OUTGRIDVIT_ATTN_T=0 to disable); larger grids:
-                # block-packed MXU kernel
-                attn_t = (N <= 16 and os.environ.get(
-                    "OUTGRIDVIT_ATTN_T", "1") not in ("0", "false"))
+                # (OUTGRIDVIT_ATTN_T=0 to disable); larger grids or
+                # VMEM-infeasible wide-C shapes: block-packed MXU kernel
+                from outgridvit_tpu.ops.grid_attention_pallas_t import (
+                    attn_t_fits,
+                )
+
+                attn_t = (N <= 16 and attn_t_fits(N, C)
+                          and os.environ.get("OUTGRIDVIT_ATTN_T", "1")
+                          not in ("0", "false"))
                 if attn_t:
                     from outgridvit_tpu.ops.grid_attention_pallas_t import (
                         grid_mhsa_pallas_t as mhsa_kernel,

@@ -158,6 +158,22 @@ def _pick_lanes(G: int, rows: int, f32_rows: int, itemsize: int,
     return gt
 
 
+def attn_t_fits(N: int, C: int, itemsize: int = 2) -> bool:
+    """Conservative scoped-VMEM feasibility of the lane-batched kernel at
+    the minimum 128-lane tile. The fully-unrolled body keeps more fp32
+    intermediates live than the tile picker models for wide-C N=16 shapes
+    (found live: the 64px config's C=384 stage-3 overflowed by 4.3 MiB);
+    infeasible shapes dispatch to the block-packed MXU kernel instead.
+
+    The bound is anchored on MEASURED backward-body usage at the minimum
+    128-lane tile: 22.86 MiB at N=16, C=256 (64px config stage 2; its
+    C=384 stage overflowed earlier still). Usage scales ~linearly in N*C
+    (both the io blocks and the unrolled fp32 live set do)."""
+    del itemsize
+    est_mib = 22.86 * (N * C) / (16 * 256)
+    return est_mib <= 15.0
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def grid_mhsa_pallas_t(qkv: jnp.ndarray, heads: int) -> jnp.ndarray:
     """Lane-batched tiny-grid MHSA. qkv: [Bgrp, N, 3C] -> [Bgrp, N, C].
