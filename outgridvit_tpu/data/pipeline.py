@@ -193,21 +193,45 @@ class Prefetcher:
         # ~30 ms/superstep against the train loop
         q: "queue.Queue" = queue.Queue(maxsize=max(1, self.depth))
         done = object()
+        stop = threading.Event()
+
+        def safe_put(item) -> bool:
+            # never block forever: if the consumer abandoned iteration
+            # (exception/GeneratorExit sets `stop`), give up and exit the
+            # thread instead of leaking it + its device-resident batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for x, y in self.it:
-                    q.put((put_one(x), put_one(y)))
-                q.put(done)
+                    if stop.is_set():
+                        return
+                    if not safe_put((put_one(x), put_one(y))):
+                        return
+                safe_put(done)
             except BaseException as e:  # surface in the consumer
-                q.put(e)
+                safe_put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is done:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

@@ -182,20 +182,26 @@ class MultiHeadSelfAttention(nn.Module):
             else:
                 # small grids (N<=16, i.e. every stage of the 32px models):
                 # lane-batched VPU kernel in XLA's own transposed layout
-                # (OUTGRIDVIT_ATTN_T=0 to disable); larger grids or
-                # VMEM-infeasible wide-C shapes: block-packed MXU kernel
-                from outgridvit_tpu.ops.grid_attention_pallas_t import (
-                    attn_t_fits,
-                )
-
-                attn_t = (N <= 16 and attn_t_fits(N, C)
-                          and os.environ.get("OUTGRIDVIT_ATTN_T", "1")
-                          not in ("0", "false"))
-                if attn_t:
+                # (OUTGRIDVIT_ATTN_T=0 to disable). Wide-C N=16 shapes whose
+                # full-C blocks overflow scoped VMEM (the 64px configs) use
+                # the head-chunked variant; feasibility comes from a
+                # compile-probe of the exact shape, not a heuristic.
+                mhsa_kernel = None
+                if (N <= 16 and os.environ.get("OUTGRIDVIT_ATTN_T", "1")
+                        not in ("0", "false")):
                     from outgridvit_tpu.ops.grid_attention_pallas_t import (
-                        grid_mhsa_pallas_t as mhsa_kernel,
+                        attn_kernel_feasible,
+                        grid_mhsa_pallas_t,
+                        grid_mhsa_pallas_th,
                     )
-                else:
+
+                    dt_str = jnp.dtype(dt).name
+                    if attn_kernel_feasible("t", B, N, C, heads, dt_str):
+                        mhsa_kernel = grid_mhsa_pallas_t
+                    elif heads > 1 and attn_kernel_feasible(
+                            "th", B, N, C, heads, dt_str):
+                        mhsa_kernel = grid_mhsa_pallas_th
+                if mhsa_kernel is None:
                     from outgridvit_tpu.ops.grid_attention_pallas import (
                         grid_mhsa_pallas as mhsa_kernel,
                     )

@@ -182,14 +182,20 @@ class ChannelMLP(nn.Module):
                 except ValueError:
                     pass
         dropout_active = self.drop > 0.0 and not deterministic
-        if use_pallas and mode.startswith("t"):
-            from outgridvit_tpu.ops.mlp_branch_pallas_t import mlp_t_fits
-
+        if use_pallas:
             M = 1
             for d in x.shape[:-1]:
                 M *= d
-            if not mlp_t_fits(M, C, hidden, dt):
-                use_pallas = False  # awkward token count: unfused XLA
+            if mode.startswith("t"):
+                from outgridvit_tpu.ops.mlp_branch_pallas_t import mlp_t_fits
+
+                if not mlp_t_fits(M, C, hidden, dt):
+                    use_pallas = False  # awkward token count: unfused XLA
+            elif M < 8 or M % 8 != 0:
+                # the row-layout kernel tiles 8-granular token rows
+                # (_pick_rows); a ragged M would leave the last M%8 rows
+                # unwritten (and M<8 cannot tile at all) — unfused XLA
+                use_pallas = False
         if use_pallas and not dropout_active:
             if mode.startswith("t"):
                 from outgridvit_tpu.ops.mlp_branch_pallas_t import (

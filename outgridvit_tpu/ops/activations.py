@@ -14,12 +14,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-@functools.lru_cache(maxsize=None)
 def make_activation(act: str):
     """Memoized so repeated lookups return the SAME callable — fused Pallas
     branches close over the activation and key their custom-vjp tracing on
-    its identity."""
-    act = act.lower()
+    its identity. Name is normalized BEFORE the cache so 'GELU' and 'gelu'
+    share one callable (one retrace)."""
+    return _make_activation(act.lower())
+
+
+@functools.lru_cache(maxsize=None)
+def _make_activation(act: str):
     if act == "silu":
         return nn.silu
     if act == "relu":

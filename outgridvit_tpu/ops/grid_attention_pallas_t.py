@@ -132,6 +132,66 @@ def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, N: int, heads: int, hd: int,
                 dv.astype(dqkv_ref.dtype))
 
 
+def _fwd_kernel_h(qkv_ref, o_ref, *, N: int, hd: int, scale: float):
+    """Single-head block: qkv_ref [1, N*3hd, gt] (rows = token-major
+    (n, q|k|v, d)), o_ref [1, N*hd, gt]."""
+    x = qkv_ref[0]
+    C3 = 3 * hd
+    q = [x[n * C3: n * C3 + hd, :].astype(jnp.float32) for n in range(N)]
+    k = [x[n * C3 + hd: n * C3 + 2 * hd, :].astype(jnp.float32)
+         for n in range(N)]
+    v = [x[n * C3 + 2 * hd: n * C3 + 3 * hd, :].astype(jnp.float32)
+         for n in range(N)]
+    lg = [jnp.sum(q[n] * k[m], axis=0, keepdims=True) * scale
+          for n in range(N) for m in range(N)]
+    a = _softmax_rows(lg, N)
+    for n in range(N):
+        out = a[n][0] * v[0]
+        for m in range(1, N):
+            out = out + a[n][m] * v[m]
+        o_ref[0, n * hd: (n + 1) * hd, :] = out.astype(o_ref.dtype)
+
+
+def _bwd_kernel_h(qkv_ref, do_ref, dqkv_ref, *, N: int, hd: int,
+                  scale: float):
+    x = qkv_ref[0]
+    do = do_ref[0]  # [N*hd, gt]
+    C3 = 3 * hd
+    q = [x[n * C3: n * C3 + hd, :].astype(jnp.float32) for n in range(N)]
+    k = [x[n * C3 + hd: n * C3 + 2 * hd, :].astype(jnp.float32)
+         for n in range(N)]
+    v = [x[n * C3 + 2 * hd: n * C3 + 3 * hd, :].astype(jnp.float32)
+         for n in range(N)]
+    g = [do[n * hd: (n + 1) * hd, :].astype(jnp.float32) for n in range(N)]
+    lg = [jnp.sum(q[n] * k[m], axis=0, keepdims=True) * scale
+          for n in range(N) for m in range(N)]
+    a = _softmax_rows(lg, N)
+    dp = [[jnp.sum(g[n] * v[m], axis=0, keepdims=True) for m in range(N)]
+          for n in range(N)]
+    da = []
+    for n in range(N):
+        s = dp[n][0] * a[n][0]
+        for m in range(1, N):
+            s = s + dp[n][m] * a[n][m]
+        da.append([a[n][m] * (dp[n][m] - s) for m in range(N)])
+    for n in range(N):
+        dq = da[n][0] * k[0]
+        for m in range(1, N):
+            dq = dq + da[n][m] * k[m]
+        dqkv_ref[0, n * C3: n * C3 + hd, :] = (
+            (dq * scale).astype(dqkv_ref.dtype))
+    for m in range(N):
+        dk = da[0][m] * q[0]
+        dv = a[0][m] * g[0]
+        for n in range(1, N):
+            dk = dk + da[n][m] * q[n]
+            dv = dv + a[n][m] * g[n]
+        dqkv_ref[0, m * C3 + hd: m * C3 + 2 * hd, :] = (
+            (dk * scale).astype(dqkv_ref.dtype))
+        dqkv_ref[0, m * C3 + 2 * hd: m * C3 + 3 * hd, :] = (
+            dv.astype(dqkv_ref.dtype))
+
+
 def _env_kib(name: str, default_kib: int) -> int:
     import os
 
@@ -158,20 +218,85 @@ def _pick_lanes(G: int, rows: int, f32_rows: int, itemsize: int,
     return gt
 
 
-def attn_t_fits(N: int, C: int, itemsize: int = 2) -> bool:
-    """Conservative scoped-VMEM feasibility of the lane-batched kernel at
-    the minimum 128-lane tile. The fully-unrolled body keeps more fp32
-    intermediates live than the tile picker models for wide-C N=16 shapes
-    (found live: the 64px config's C=384 stage-3 overflowed by 4.3 MiB);
-    infeasible shapes dispatch to the block-packed MXU kernel instead.
+_PROBE_DISK: dict | None = None
 
-    The bound is anchored on MEASURED backward-body usage at the minimum
-    128-lane tile: 22.86 MiB at N=16, C=256 (64px config stage 2; its
-    C=384 stage overflowed earlier still). Usage scales ~linearly in N*C
-    (both the io blocks and the unrolled fp32 live set do)."""
-    del itemsize
-    est_mib = 22.86 * (N * C) / (16 * 256)
-    return est_mib <= 15.0
+
+def _probe_cache_path():
+    import os
+
+    return os.environ.get(
+        "OUTGRIDVIT_PROBE_CACHE",
+        os.path.expanduser("~/.cache/outgridvit/attn_probe.json"))
+
+
+def _probe_disk_load() -> dict:
+    global _PROBE_DISK
+    if _PROBE_DISK is None:
+        import json
+        import os
+
+        try:
+            with open(_probe_cache_path()) as f:
+                _PROBE_DISK = dict(json.load(f))
+        except (OSError, ValueError):
+            _PROBE_DISK = {}
+        del os
+    return _PROBE_DISK
+
+
+def _probe_disk_save(key: str, ok: bool) -> None:
+    import json
+    import os
+
+    cache = _probe_disk_load()
+    cache[key] = bool(ok)
+    path = _probe_cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(cache, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # read-only FS etc.: in-process cache still holds the verdict
+
+
+@functools.lru_cache(maxsize=None)
+def attn_kernel_feasible(kind: str, G: int, N: int, C: int, heads: int,
+                         dtype_str: str = "bfloat16") -> bool:
+    """True iff the `kind` lane-batched kernel ("t" full-C, "th"
+    head-chunked) COMPILES — forward and backward — for this exact shape on
+    the current backend.
+
+    Replaces round 2's one-point VMEM extrapolation (`attn_t_fits`,
+    anchored on a single measured shape after the live OOM fixed in commit
+    a336fd5): the verdict now comes from the compiler itself via an AOT
+    ``jit(grad(...)).lower().compile()`` of the exact kernel that would run.
+    Scoped VMEM is budgeted per kernel, so a standalone compile reflects
+    in-context feasibility. Verdicts are cached in-process and on disk
+    (``OUTGRIDVIT_PROBE_CACHE``) — the probe compiles once per shape per
+    machine (a few seconds), not per run."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return True  # interpret/test paths have no scoped-VMEM ceiling
+    key = f"tpu:{kind}:{G}:{N}:{C}:{heads}:{dtype_str}"
+    disk = _probe_disk_load()
+    if key in disk:
+        return bool(disk[key])
+    fn = {"t": grid_mhsa_pallas_t, "th": grid_mhsa_pallas_th}[kind]
+
+    def loss(x):
+        return jnp.sum(fn(x, heads).astype(jnp.float32))
+
+    spec = jax.ShapeDtypeStruct((G, N, 3 * C), jnp.dtype(dtype_str))
+    try:
+        jax.jit(jax.grad(loss)).lower(spec).compile()
+        ok = True
+    except Exception:  # noqa: BLE001 — any compile failure means infeasible
+        ok = False
+    _probe_disk_save(key, ok)
+    return ok
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -246,3 +371,90 @@ def _bwd_vjp(heads, res, do):
 
 
 grid_mhsa_pallas_t.defvjp(_fwd_vjp, _bwd_vjp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def grid_mhsa_pallas_th(qkv: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """Head-chunked lane-batched tiny-grid MHSA: qkv [Bgrp, N, 3C] ->
+    [Bgrp, N, C].
+
+    Same math as :func:`grid_mhsa_pallas_t`, but the Pallas grid iterates
+    over heads, so each program's block is ``1/heads`` the size: the
+    double-buffered io blocks are what overflow scoped VMEM for wide-C N=16
+    shapes (measured 22.86 MiB at N=16 C=256 — the 64px configs' stages),
+    and per-head blocks bring them back under the ceiling for every shipped
+    shape. Costs one head-major transpose at each boundary; wins over the
+    block-packed MXU fallback whenever the full-C kernel is infeasible.
+    Reference semantics: `src/model/grid_attention.py:33-89`.
+    """
+    return _fwd_h(qkv, heads)
+
+
+def _fwd_h(qkv, heads):
+    G, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // heads
+    scale = hd**-0.5
+    # head-major rows (n, q|k|v, d), heads leading: [heads, N*3hd, G]
+    xt = qkv.reshape(G, N, 3, heads, hd).transpose(3, 1, 2, 4, 0).reshape(
+        heads, N * 3 * hd, G)
+    gt = _pick_lanes(G, N * 3 * hd + N * hd, 3 * hd + 2 * N * N + 2 * hd,
+                     qkv.dtype.itemsize,
+                     _env_kib("OUTGRIDVIT_ATTN_T_FWD_KIB", 10240) * 1024)
+    ot = pl.pallas_call(
+        functools.partial(_fwd_kernel_h, N=N, hd=hd, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((heads, N * hd, G), qkv.dtype),
+        grid=(heads, G // gt),
+        in_specs=[pl.BlockSpec((1, N * 3 * hd, gt), lambda h, i: (h, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, N * hd, gt), lambda h, i: (h, 0, i),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * G * N * N * C,
+            bytes_accessed=G * N * 4 * C * qkv.dtype.itemsize,
+            transcendentals=G * N * N * heads,
+        ),
+    )(xt)
+    return ot.reshape(heads, N, hd, G).transpose(3, 1, 0, 2).reshape(G, N, C)
+
+
+def _fwd_h_vjp(qkv, heads):
+    return _fwd_h(qkv, heads), (qkv,)
+
+
+def _bwd_h_vjp(heads, res, do):
+    (qkv,) = res
+    G, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // heads
+    scale = hd**-0.5
+    xt = qkv.reshape(G, N, 3, heads, hd).transpose(3, 1, 2, 4, 0).reshape(
+        heads, N * 3 * hd, G)
+    dot = do.reshape(G, N, heads, hd).transpose(2, 1, 3, 0).reshape(
+        heads, N * hd, G)
+    gt = _pick_lanes(G, 2 * N * 3 * hd + N * hd,
+                     4 * hd + 4 * N * N + 3 * hd, qkv.dtype.itemsize,
+                     _env_kib("OUTGRIDVIT_ATTN_T_BWD_KIB", 10240) * 1024)
+    dxt = pl.pallas_call(
+        functools.partial(_bwd_kernel_h, N=N, hd=hd, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((heads, N * 3 * hd, G), qkv.dtype),
+        grid=(heads, G // gt),
+        in_specs=[
+            pl.BlockSpec((1, N * 3 * hd, gt), lambda h, i: (h, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N * hd, gt), lambda h, i: (h, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N * 3 * hd, gt), lambda h, i: (h, 0, i),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * G * N * N * C,
+            bytes_accessed=G * N * 8 * C * qkv.dtype.itemsize,
+            transcendentals=G * N * N * heads,
+        ),
+    )(xt, dot)
+    return (dxt.reshape(heads, N, 3, hd, G).transpose(4, 1, 2, 0, 3).reshape(
+        G, N, C3),)
+
+
+grid_mhsa_pallas_th.defvjp(_fwd_h_vjp, _bwd_h_vjp)

@@ -91,6 +91,13 @@ def evaluate_one_epoch_logs(
             t_warm = time.perf_counter()
         elif bi >= warmup_batches:
             timed_batches += 1
+            if timed_batches % 32 == 0:
+                # bound in-flight device input buffers: with no sync at all
+                # the host can stage an epoch's worth of float batches in
+                # HBM on non-device-augment configs; one blocking fetch per
+                # 32 batches caps residency while keeping round trips
+                # amortized (the wait is device progress, not idle time)
+                float(m["loss"])
     if device_metrics:
         float(device_metrics[-1]["loss"])  # block on the whole chain
     t_end = time.perf_counter()

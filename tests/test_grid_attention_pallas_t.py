@@ -13,7 +13,10 @@ import pytest
 
 from jax.experimental.pallas import tpu as pltpu
 
-from outgridvit_tpu.ops.grid_attention_pallas_t import grid_mhsa_pallas_t
+from outgridvit_tpu.ops.grid_attention_pallas_t import (
+    grid_mhsa_pallas_t,
+    grid_mhsa_pallas_th,
+)
 
 
 def _xla_ref(qkv, heads):
@@ -54,6 +57,40 @@ def test_lane_batched_mhsa_grads():
 
     def loss_pal(x):
         return jnp.sum(grid_mhsa_pallas_t(x, 3).astype(jnp.float32) ** 2)
+
+    def loss_ref(x):
+        return jnp.sum(_xla_ref(x, 3).astype(jnp.float32) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_pal)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("B,N,C,heads", [
+    (16, 4, 96, 3),    # shares the t-kernel's shape family
+    (4, 16, 256, 8),   # 64px stage-2 family: the shape the full-C kernel
+                       # cannot fit on hardware (head-chunking's raison
+                       # d'être; small B keeps interpret mode fast)
+    (8, 8, 384, 6),    # wide-C, head dim 64
+])
+def test_head_chunked_mhsa_forward(B, N, C, heads):
+    qkv = jax.random.normal(jax.random.PRNGKey(3), (B, N, 3 * C),
+                            jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = grid_mhsa_pallas_th(qkv, heads)
+    want = _xla_ref(qkv, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_head_chunked_mhsa_grads():
+    qkv = jax.random.normal(jax.random.PRNGKey(4), (16, 4, 3 * 96),
+                            jnp.float32)
+
+    def loss_pal(x):
+        return jnp.sum(grid_mhsa_pallas_th(x, 3).astype(jnp.float32) ** 2)
 
     def loss_ref(x):
         return jnp.sum(_xla_ref(x, 3).astype(jnp.float32) ** 2)

@@ -110,6 +110,51 @@ def test_graft_dryrun_multichip():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+def test_superstep_matches_sequential_on_mesh(shape):
+    # the PRODUCTION dispatch path (`scripts/train.py` on accelerators):
+    # K-scanned superstep WITH in-jit device augmentation, on a sharded
+    # mesh, must equal K sequential single-step dispatches (the superstep's
+    # documented contract, training/steps.py:150) — this is the multi-chip
+    # correctness evidence a single chip cannot provide
+    from outgridvit_tpu.ops.augment import AugmentConfig
+    from outgridvit_tpu.parallel import superbatch_sharding
+    from outgridvit_tpu.training.steps import make_train_superstep
+
+    aug = AugmentConfig(mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25),
+                        crop_pad=1)
+    step_cfg = StepConfig(num_classes=10, mixup_alpha=0.8, cutmix_alpha=1.0,
+                          mix_prob=0.5, augment=aug)
+    K, B = 2, 16
+    kx, ky = jax.random.split(jax.random.PRNGKey(5))
+    x = np.asarray(jax.random.randint(kx, (K, B, 8, 8, 3), 0, 255),
+                   dtype=np.uint8)
+    y = np.asarray(jax.random.randint(ky, (K, B), 0, 10), dtype=np.int32)
+    base = jax.random.PRNGKey(6)
+
+    mesh = make_mesh(shape)
+    sshard = superbatch_sharding(mesh)
+    bshard = batch_sharding(mesh)
+
+    _, state_scan = _make_state(mesh)
+    sstep = make_train_superstep(step_cfg)
+    _, m_scan = sstep(state_scan,
+                      (jax.device_put(x, sshard), jax.device_put(y, sshard)),
+                      base)
+    scan_losses = np.asarray(m_scan["loss"])
+
+    _, st = _make_state(mesh)
+    step = make_train_step(step_cfg)
+    seq_losses = []
+    for k in range(K):
+        st, m = step(st, (jax.device_put(x[k], bshard),
+                          jax.device_put(y[k], bshard)), base)
+        seq_losses.append(float(m["loss"]))
+
+    np.testing.assert_array_equal(scan_losses, np.asarray(seq_losses))
+
+
+@pytest.mark.slow
 def test_tp_matches_dp_numerically():
     # tensor-parallel sharding must not change the math: same batch, same
     # params -> same loss on a pure-DP mesh and a DPxTP mesh
