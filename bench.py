@@ -17,7 +17,11 @@ is >=5x the 1131.8 figure.
 
 Env knobs: BENCH_BATCH (128), BENCH_STEPS (100, counted in single steps),
 BENCH_K (8 scanned steps/dispatch; 1 = legacy single-step), BENCH_AUGMENT
-(1; 0 = pre-normalized float inputs, no in-jit augmentation).
+(1; 0 = pre-normalized float inputs, no in-jit augmentation),
+BENCH_REAL_LOADER (0; 1 = pull every batch through the REAL input path —
+ArrayDataLoader -> superbatch grouping -> threaded Prefetcher with H2D
+transfers — so the canonical number and the CLI's end-to-end rate cannot
+silently drift apart).
 
 Expect ~5-7 min of warmup on the axon dev platform (printed to stderr):
 the remote compiler does not persist executables across processes, so the
@@ -75,6 +79,7 @@ def main() -> int:
     warmup = int(os.environ.get("BENCH_WARMUP", "10"))
     k_disp = max(1, int(os.environ.get("BENCH_K", "8")))
     use_aug = os.environ.get("BENCH_AUGMENT", "1") not in ("0", "false")
+    real_loader = os.environ.get("BENCH_REAL_LOADER", "0") in ("1", "true")
 
     cfg = yaml.safe_load((ROOT / "configs" / "cifar100_model_a_7m.yaml").read_text())
     model = build_model(cfg["model"], dtype=jnp.bfloat16)
@@ -123,7 +128,7 @@ def main() -> int:
     # a few device-resident (super)batches to cycle through; uint8 when the
     # in-jit recipe runs (that is what the real loader feeds)
     batches = []
-    for i in range(4):
+    for i in range(0 if real_loader else 4):
         kx = jax.random.fold_in(rng, i)
         if use_aug:
             xb = jax.random.randint(kx, batch_shape + (32, 32, 3), 0, 255,
@@ -145,25 +150,55 @@ def main() -> int:
     base = jax.random.PRNGKey(2)
     n_dispatch_warmup = max(1, warmup // k_disp)
     n_dispatch = max(1, steps // k_disp)
-    t_c0 = time.perf_counter()
-    for i in range(n_dispatch_warmup):
-        state, m = step_fn(state, batches[i % 4], base)
-    hard_sync(state, m)
-    print(f"[bench] warmup+compile {time.perf_counter() - t_c0:.1f}s",
-          file=sys.stderr)
+    if real_loader:
+        # the CLI's exact input path: host loader threads -> K-superbatch
+        # grouping -> threaded device Prefetcher (training/loop.py:304-331)
+        from outgridvit_tpu.data.datasets import get_synthetic_dataloaders
+        from outgridvit_tpu.data.pipeline import Prefetcher
+        from outgridvit_tpu.training.loop import _group_batches
 
-    t0 = time.perf_counter()
-    for i in range(n_dispatch):
-        state, m = step_fn(state, batches[i % 4], base)
-    hard_sync(state, m)
-    dt = time.perf_counter() - t0
+        n_need = (n_dispatch_warmup + n_dispatch) * k_disp * batch_size
+        loader, _, _ = get_synthetic_dataloaders(
+            batch_size=batch_size, num_samples=n_need, img_size=32,
+            num_classes=100, device_augment=use_aug)
+        loader.drop_last = True
+
+        pf = iter(Prefetcher(
+            _group_batches(iter(loader), k_disp, batch_size)
+            if k_disp > 1 else iter(loader),
+            sharding=bshard))
+        t_c0 = time.perf_counter()
+        for i in range(n_dispatch_warmup):
+            state, m = step_fn(state, next(pf), base)
+        hard_sync(state, m)
+        print(f"[bench] warmup+compile {time.perf_counter() - t_c0:.1f}s",
+              file=sys.stderr)
+        t0 = time.perf_counter()
+        for i in range(n_dispatch):
+            state, m = step_fn(state, next(pf), base)
+        hard_sync(state, m)
+        dt = time.perf_counter() - t0
+    else:
+        t_c0 = time.perf_counter()
+        for i in range(n_dispatch_warmup):
+            state, m = step_fn(state, batches[i % 4], base)
+        hard_sync(state, m)
+        print(f"[bench] warmup+compile {time.perf_counter() - t_c0:.1f}s",
+              file=sys.stderr)
+
+        t0 = time.perf_counter()
+        for i in range(n_dispatch):
+            state, m = step_fn(state, batches[i % 4], base)
+        hard_sync(state, m)
+        dt = time.perf_counter() - t0
 
     imgs_per_sec = batch_size * k_disp * n_dispatch / dt
     per_chip = imgs_per_sec / max(1, n_chips)
     print(
         json.dumps(
             {
-                "metric": "modelA7M_cifar100_32px_train_imgs_per_sec_per_chip",
+                "metric": ("modelA7M_cifar100_32px_train_imgs_per_sec_per_chip"
+                           + ("_real_loader" if real_loader else "")),
                 "value": round(per_chip, 1),
                 "unit": "imgs/s",
                 "vs_baseline": round(per_chip / BASELINE_IMGS_PER_SEC, 3),

@@ -161,15 +161,23 @@ class Prefetcher:
     (sharded if a sharding is given) ahead of the consumer.
 
     ``sharding`` may be a Sharding or a callable ``array -> Sharding`` (used
-    when the stream mixes [B, ...] batches and [K, B, ...] superbatches)."""
+    when the stream mixes [B, ...] batches and [K, B, ...] superbatches).
 
-    def __init__(self, it, sharding=None, depth: int = 2):
+    ``transfer_workers > 1`` issues that many H2D ``device_put`` calls
+    concurrently (order preserved via futures): on a tunneled/remote device
+    the transfer is LATENCY-bound, not bandwidth-bound, and overlapping the
+    round trips is what closes the eval transfer gap
+    (docs/PERFORMANCE.md)."""
+
+    def __init__(self, it, sharding=None, depth: int = 2,
+                 transfer_workers: int = 1):
         import jax
 
         self._jax = jax
         self.it = iter(it)
         self.sharding = sharding
         self.depth = depth
+        self.transfer_workers = max(1, int(transfer_workers))
 
     def __iter__(self):
         import queue
@@ -207,16 +215,41 @@ class Prefetcher:
                     continue
             return False
 
-        def worker():
-            try:
-                for x, y in self.it:
-                    if stop.is_set():
-                        return
-                    if not safe_put((put_one(x), put_one(y))):
-                        return
-                safe_put(done)
-            except BaseException as e:  # surface in the consumer
-                safe_put(e)
+        if self.transfer_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(self.transfer_workers)
+
+            def stage(xy):
+                x, y = xy
+                return put_one(x), put_one(y)
+
+            def worker():
+                try:
+                    # futures flow through the queue in order, so up to
+                    # `depth` transfers are in flight while the consumer
+                    # holds the head of the line
+                    for b in self.it:
+                        if stop.is_set():
+                            return
+                        if not safe_put(pool.submit(stage, b)):
+                            return
+                    safe_put(done)
+                except BaseException as e:
+                    safe_put(e)
+                finally:
+                    pool.shutdown(wait=False)
+        else:
+            def worker():
+                try:
+                    for x, y in self.it:
+                        if stop.is_set():
+                            return
+                        if not safe_put((put_one(x), put_one(y))):
+                            return
+                    safe_put(done)
+                except BaseException as e:  # surface in the consumer
+                    safe_put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -227,6 +260,8 @@ class Prefetcher:
                     break
                 if isinstance(item, BaseException):
                     raise item
+                if hasattr(item, "result"):  # staged transfer future
+                    item = item.result()
                 yield item
         finally:
             stop.set()

@@ -151,6 +151,12 @@ def build_baseline(name: str, num_classes: int, dtype=jnp.float32):
     name = name.lower()
     if name in ("resnet18", "resnet18_cifar"):
         return ResNet18Cifar(num_classes=num_classes, dtype=dtype)
+    if name in ("resnet50", "resnet50_cifar"):
+        return ResNet50Cifar(num_classes=num_classes, dtype=dtype)
+    if name in ("convnext_tiny", "convnext_tiny_patch2"):
+        return ConvNeXtTiny(num_classes=num_classes, dtype=dtype)
+    if name in ("effnetv2_s", "efficientnetv2_s"):
+        return EfficientNetV2S(num_classes=num_classes, dtype=dtype)
     if name in ("deit_tiny", "deit_tiny_patch4"):
         return DeiT(num_classes=num_classes, patch=4, dim=192, depth=12,
                     num_heads=3, dtype=dtype)
@@ -168,9 +174,264 @@ def build_baseline(name: str, num_classes: int, dtype=jnp.float32):
         return SwinTiny(num_classes=num_classes, dtype=dtype)
     raise ValueError(
         f"Unknown baseline '{name}'. Available: resnet18_cifar, "
-        f"deit_tiny_patch4, deit_small_patch4, vit_micro_patch4, "
-        f"maxvit_nano, maxvit_tiny, swin_tiny_patch2"
+        f"resnet50_cifar, convnext_tiny, effnetv2_s, deit_tiny_patch4, "
+        f"deit_small_patch4, vit_micro_patch4, maxvit_nano, maxvit_tiny, "
+        f"swin_tiny_patch2"
     )
+
+
+class _Bottleneck(nn.Module):
+    """ResNet bottleneck: 1x1 reduce -> 3x3 (stride) -> 1x1 expand(4x),
+    BN after each, projection shortcut on shape change."""
+
+    width: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out_ch = self.width * 4
+        y = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = BatchNorm(name="bn1")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = nn.Conv(self.width, (3, 3), strides=(self.stride,) * 2,
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = BatchNorm(name="bn2")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = BatchNorm(name="bn3")(y, use_running_average=not train)
+        if residual.shape != y.shape:
+            residual = nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2,
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample")(residual)
+            residual = BatchNorm(name="downsample_bn")(
+                residual, use_running_average=not train)
+        return nn.relu(residual + y)
+
+
+class ResNet50Cifar(nn.Module):
+    """ResNet-50 with the reference's CIFAR surgery — conv1 -> 3x3 stride-1
+    pad-1, maxpool -> identity (`training_notebooks/train_comparision_models/
+    ResNet50.ipynb`; the robustness study's main rival, README.md:153-158).
+    Bottleneck depths 3/4/6/3, widths 64/128/256/512 (x4 expansion);
+    23.71M params at 100 classes (README.md:140)."""
+
+    num_classes: int = 100
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False,
+                 deterministic: Optional[bool] = None, capture: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="stem")(x)
+        x = BatchNorm(name="stem_bn")(x, use_running_average=not train)
+        x = nn.relu(x)
+        for si, (width, depth, stride) in enumerate(
+                [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)]):
+            for bi in range(depth):
+                x = _Bottleneck(width, stride if bi == 0 else 1,
+                                dtype=self.dtype,
+                                name=f"layer{si}_{bi}")(x, train=train)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)
+
+
+class _ConvNeXtBlock(nn.Module):
+    """dw7x7 -> LN -> 4x pointwise -> GELU -> pointwise -> layer-scale,
+    residual (ConvNeXt's standard block; no drop-path — the reference trains
+    timm defaults, drop_path_rate=0)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from outgridvit_tpu.models.layers import LayerNorm
+
+        y = nn.Conv(self.dim, (7, 7), padding=((3, 3), (3, 3)),
+                    feature_group_count=self.dim, dtype=self.dtype,
+                    name="dwconv")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(y)
+        y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(y)
+        gamma = self.param("gamma",
+                           nn.initializers.constant(1e-6), (self.dim,),
+                           jnp.float32)
+        return x + y * gamma.astype(y.dtype)
+
+
+class ConvNeXtTiny(nn.Module):
+    """ConvNeXt-T with the reference's small-image surgery — stem conv
+    4x4/s4 -> 2x2/s2 (`ConvNetx_Tiny.ipynb`). Depths 3/3/9/3, dims
+    96/192/384/768, LN+2x2/s2 downsampling between stages; 27.89M params at
+    100 classes (README.md:133)."""
+
+    num_classes: int = 100
+    dims: tuple = (96, 192, 384, 768)
+    depths: tuple = (3, 3, 9, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False,
+                 deterministic: Optional[bool] = None, capture: bool = False):
+        from outgridvit_tpu.models.layers import LayerNorm
+
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.dims[0], (2, 2), strides=(2, 2), dtype=self.dtype,
+                    name="stem")(x)
+        x = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem_norm")(x)
+        for si, (dim, depth) in enumerate(zip(self.dims, self.depths)):
+            if si > 0:
+                x = LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                              name=f"down_norm_{si}")(x)
+                x = nn.Conv(dim, (2, 2), strides=(2, 2), dtype=self.dtype,
+                            name=f"down_{si}")(x)
+            for bi in range(depth):
+                x = _ConvNeXtBlock(dim, dtype=self.dtype,
+                                   name=f"stages_{si}_{bi}")(x)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        x = LayerNorm(epsilon=1e-6, name="norm")(x)
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)
+
+
+class _SEUnit(nn.Module):
+    """EfficientNet squeeze-excite: GAP -> 1x1 reduce (SiLU) -> 1x1 expand
+    (sigmoid gate); reduction computed on the BLOCK INPUT channels (timm's
+    EfficientNetV2 convention), biased convs."""
+
+    rd_ch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.rd_ch, (1, 1), dtype=self.dtype,
+                    name="reduce")(s.astype(x.dtype))
+        s = nn.silu(s)
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(s)
+        return x * nn.sigmoid(s)
+
+
+class _FusedMBConv(nn.Module):
+    """EfficientNetV2 fused block: 3x3 expand conv + BN + SiLU -> 1x1
+    project + BN (plain 3x3 conv-bn-act when expand==1), residual at
+    stride 1 with matching channels."""
+
+    out_ch: int
+    expand: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        residual = x
+        if self.expand == 1:
+            y = nn.Conv(self.out_ch, (3, 3), strides=(self.stride,) * 2,
+                        padding=((1, 1), (1, 1)), use_bias=False,
+                        dtype=self.dtype, name="conv")(x)
+            y = BatchNorm(name="bn")(y, use_running_average=not train)
+            y = nn.silu(y)
+        else:
+            mid = in_ch * self.expand
+            y = nn.Conv(mid, (3, 3), strides=(self.stride,) * 2,
+                        padding=((1, 1), (1, 1)), use_bias=False,
+                        dtype=self.dtype, name="conv_exp")(x)
+            y = BatchNorm(name="bn1")(y, use_running_average=not train)
+            y = nn.silu(y)
+            y = nn.Conv(self.out_ch, (1, 1), use_bias=False,
+                        dtype=self.dtype, name="conv_pwl")(y)
+            y = BatchNorm(name="bn2")(y, use_running_average=not train)
+        if self.stride == 1 and in_ch == self.out_ch:
+            y = y + residual
+        return y
+
+
+class _MBConvV2(nn.Module):
+    """EfficientNetV2 inverted residual: 1x1 expand + BN + SiLU -> dw3x3 +
+    BN + SiLU -> SE (ratio on block input) -> 1x1 project + BN."""
+
+    out_ch: int
+    expand: int
+    stride: int = 1
+    se_ratio: float = 0.25
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        residual = x
+        mid = in_ch * self.expand
+        y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv_pw")(x)
+        y = BatchNorm(name="bn1")(y, use_running_average=not train)
+        y = nn.silu(y)
+        y = nn.Conv(mid, (3, 3), strides=(self.stride,) * 2,
+                    padding=((1, 1), (1, 1)), feature_group_count=mid,
+                    use_bias=False, dtype=self.dtype, name="conv_dw")(y)
+        y = BatchNorm(name="bn2")(y, use_running_average=not train)
+        y = nn.silu(y)
+        rd = max(1, int(in_ch * self.se_ratio))
+        y = _SEUnit(rd_ch=rd, dtype=self.dtype, name="se")(y)
+        y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv_pwl")(y)
+        y = BatchNorm(name="bn3")(y, use_running_average=not train)
+        if self.stride == 1 and in_ch == self.out_ch:
+            y = y + residual
+        return y
+
+
+class EfficientNetV2S(nn.Module):
+    """EfficientNetV2-S with the reference's small-image surgery —
+    conv_stem -> 3x3 stride-1 (`EfficientNetv2.ipynb`). timm's v2_s stage
+    table: fused r2/e1/c24 s1, fused r4/e4/c48 s2, fused r4/e4/c64 s2,
+    mbconv r6/e4/c128 s2 se.25, r9/e6/c160 s1 se.25, r15/e6/c256 s2 se.25;
+    1x1 head conv to 1280. 20.31M params at 100 classes (README.md:136)."""
+
+    num_classes: int = 100
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False,
+                 deterministic: Optional[bool] = None, capture: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(24, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="conv_stem")(x)
+        x = BatchNorm(name="stem_bn")(x, use_running_average=not train)
+        x = nn.silu(x)
+        stages = [
+            ("fused", 2, 1, 24, 1, 0.0),
+            ("fused", 4, 4, 48, 2, 0.0),
+            ("fused", 4, 4, 64, 2, 0.0),
+            ("mb", 6, 4, 128, 2, 0.25),
+            ("mb", 9, 6, 160, 1, 0.25),
+            ("mb", 15, 6, 256, 2, 0.25),
+        ]
+        for si, (kind, repeat, expand, out_ch, stride, se) in enumerate(
+                stages):
+            for bi in range(repeat):
+                s = stride if bi == 0 else 1
+                if kind == "fused":
+                    x = _FusedMBConv(out_ch=out_ch, expand=expand, stride=s,
+                                     dtype=self.dtype,
+                                     name=f"blocks_{si}_{bi}")(x, train=train)
+                else:
+                    x = _MBConvV2(out_ch=out_ch, expand=expand, stride=s,
+                                  se_ratio=se, dtype=self.dtype,
+                                  name=f"blocks_{si}_{bi}")(x, train=train)
+        x = nn.Conv(1280, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv_head")(x)
+        x = BatchNorm(name="head_bn")(x, use_running_average=not train)
+        x = nn.silu(x)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        return nn.Dense(self.num_classes, dtype=jnp.float32,
+                        name="classifier")(x)
 
 
 class _MaxViTBlock(nn.Module):

@@ -398,7 +398,11 @@ def _fwd_h(qkv, heads):
     # head-major rows (n, q|k|v, d), heads leading: [heads, N*3hd, G]
     xt = qkv.reshape(G, N, 3, heads, hd).transpose(3, 1, 2, 4, 0).reshape(
         heads, N * 3 * hd, G)
-    gt = _pick_lanes(G, N * 3 * hd + N * hd, 3 * hd + 2 * N * N + 2 * hd,
+    # fp32 stack: q/k/v casts (3*N*hd rows) + the one-row [1, gt] logit and
+    # attention intermediates — each PADS TO 8 SUBLANES (2*N*N arrays x 8
+    # rows; at N=16 this padding, not the io blocks, dominates the budget)
+    gt = _pick_lanes(G, N * 3 * hd + N * hd,
+                     3 * N * hd + hd + 8 * 2 * N * N,
                      qkv.dtype.itemsize,
                      _env_kib("OUTGRIDVIT_ATTN_T_FWD_KIB", 10240) * 1024)
     ot = pl.pallas_call(
@@ -432,8 +436,11 @@ def _bwd_h_vjp(heads, res, do):
         heads, N * 3 * hd, G)
     dot = do.reshape(G, N, heads, hd).transpose(2, 1, 3, 0).reshape(
         heads, N * hd, G)
+    # q/k/v/g casts (4*N*hd rows) + lg/a/dp/da one-row arrays, 8-sublane
+    # padded (4*N*N x 8 rows — the dominant term at N=16)
     gt = _pick_lanes(G, 2 * N * 3 * hd + N * hd,
-                     4 * hd + 4 * N * N + 3 * hd, qkv.dtype.itemsize,
+                     4 * N * hd + 3 * hd + 8 * 4 * N * N,
+                     qkv.dtype.itemsize,
                      _env_kib("OUTGRIDVIT_ATTN_T_BWD_KIB", 10240) * 1024)
     dxt = pl.pallas_call(
         functools.partial(_bwd_kernel_h, N=N, hd=hd, scale=scale),

@@ -82,7 +82,8 @@ def evaluate_one_epoch_logs(
     t_epoch0 = time.perf_counter()
     t_warm = t_epoch0
     timed_batches = 0
-    for bi, batch in enumerate(Prefetcher(iter(loader), sharding=data_shard)):
+    for bi, batch in enumerate(Prefetcher(iter(loader), sharding=data_shard,
+                                          depth=8, transfer_workers=4)):
         m = eval_step(state.params, state.batch_stats, batch)
         device_metrics.append(m)
         sizes.append(batch[1].shape[0])

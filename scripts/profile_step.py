@@ -29,7 +29,9 @@ if str(ROOT) not in sys.path:
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
-def build_step(batch_size: int):
+def build_step(batch_size: int,
+               config: str = "configs/cifar100_model_a_7m.yaml",
+               img_size: int | None = None):
     import yaml
     import jax
     import jax.numpy as jnp
@@ -41,8 +43,8 @@ def build_step(batch_size: int):
     from outgridvit_tpu.training.steps import StepConfig, make_train_step
     from outgridvit_tpu.training.train_state import TrainState
 
-    cfg = yaml.safe_load(
-        (ROOT / "configs" / "cifar100_model_a_7m.yaml").read_text())
+    cfg = yaml.safe_load((ROOT / config).read_text())
+    img = img_size or int(cfg.get("data", {}).get("img_size", 32))
     model = build_model(cfg["model"], dtype=jnp.bfloat16)
     tcfg = cfg["training"]
     mesh = make_mesh()
@@ -51,7 +53,7 @@ def build_step(batch_size: int):
     tx = make_optimizer(schedule, float(tcfg["weight_decay"]),
                         tcfg.get("grad_clip_norm", 1.0))
     variables = jax.jit(model.init)(
-        jax.random.PRNGKey(1), jnp.zeros((2, 32, 32, 3), jnp.float32))
+        jax.random.PRNGKey(1), jnp.zeros((2, img, img, 3), jnp.float32))
     state = TrainState.create(
         apply_fn=model.apply, params=variables["params"],
         batch_stats=variables.get("batch_stats", {}), tx=tx)
@@ -69,7 +71,7 @@ def build_step(batch_size: int):
     step_fn = make_train_step(step_cfg, lr_schedule=schedule, jit=False)
     bshard = batch_sharding(mesh)
     x = jax.device_put(
-        jax.random.randint(jax.random.PRNGKey(0), (batch_size, 32, 32, 3),
+        jax.random.randint(jax.random.PRNGKey(0), (batch_size, img, img, 3),
                            0, 255, dtype=jnp.int32).astype(jnp.uint8), bshard)
     y = jax.device_put(
         jax.random.randint(jax.random.PRNGKey(2), (batch_size,), 0, 100),
@@ -152,6 +154,8 @@ def parse_xplane(logdir: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--config", default="configs/cifar100_model_a_7m.yaml")
+    ap.add_argument("--img-size", type=int, default=None)
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--logdir", default="/tmp/outgridvit_profile")
     ap.add_argument("--top", type=int, default=30)
@@ -162,7 +166,7 @@ def main():
 
     import jax
 
-    step_fn, state, batch = build_step(args.batch)
+    step_fn, state, batch = build_step(args.batch, args.config, args.img_size)
     rng = jax.random.PRNGKey(3)
     lowered = step_fn.lower(state, batch, rng)
     compiled = lowered.compile()
