@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Sequence, Tuple
+from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -318,19 +318,19 @@ def _ra_tables(image_size: int, magnitude: int):
     return np.asarray(mags, np.float32), np.asarray(signed, np.bool_)
 
 
-def rand_augment_batch(key, x, num_ops: int = 2, magnitude: int = 7):
-    """x: [B,H,W,C] int32 in [0,255] -> same. Applies ``num_ops`` sequential
-    ops, each sampled per image uniformly from the 14-op space."""
+def rand_augment_apply(x, op_ids, signs, magnitude: int = 7):
+    """Deterministic RandAugment given concrete draws: ``op_ids``
+    [num_ops, B] int32 into the 14-op space, ``signs`` [num_ops, B] in
+    {-1., +1.} (consumed only by signed ops)."""
     B, H, W, C = x.shape
     mags, signed = _ra_tables(W, magnitude)
     mags = jnp.asarray(mags)
     signed = jnp.asarray(signed)
     name_to_id = {n: i for i, n in enumerate(_OP_NAMES)}
 
-    for s in range(num_ops):
-        key, k_op, k_sign = jax.random.split(key, 3)
-        op_id = jax.random.randint(k_op, (B,), 0, len(_OP_NAMES))
-        sign = jnp.where(jax.random.uniform(k_sign, (B,)) < 0.5, -1.0, 1.0)
+    for s in range(op_ids.shape[0]):
+        op_id = op_ids[s]
+        sign = signs[s]
         v = mags[op_id] * jnp.where(signed[op_id], sign, 1.0)
 
         # one warp handles all geometric ops (identity matrix otherwise)
@@ -352,6 +352,20 @@ def rand_augment_batch(key, x, num_ops: int = 2, magnitude: int = 7):
             x = jnp.where((op_id == name_to_id[name])[:, None, None, None],
                           out(), x)
     return x
+
+
+def rand_augment_batch(key, x, num_ops: int = 2, magnitude: int = 7):
+    """x: [B,H,W,C] int32 in [0,255] -> same. Applies ``num_ops`` sequential
+    ops, each sampled per image uniformly from the 14-op space."""
+    B = x.shape[0]
+    op_ids, signs = [], []
+    for s in range(num_ops):
+        key, k_op, k_sign = jax.random.split(key, 3)
+        op_ids.append(jax.random.randint(k_op, (B,), 0, len(_OP_NAMES)))
+        signs.append(jnp.where(jax.random.uniform(k_sign, (B,)) < 0.5,
+                               -1.0, 1.0))
+    return rand_augment_apply(x, jnp.stack(op_ids), jnp.stack(signs),
+                              magnitude)
 
 
 # ------------------------------------------------------------- normalize / erase
@@ -402,21 +416,118 @@ def random_erasing_batch(
 
 # ------------------------------------------------------------- full recipe
 
+class AugmentDraws(NamedTuple):
+    """Concrete per-image randomness for one train batch, separated from
+    application so a host replay (PIL ops fed the SAME draws) can check the
+    full composed recipe, not just each op (mirrors mixing.sample_mix_draws).
+    Fields are None when the corresponding stage is disabled."""
+
+    crop_top: jnp.ndarray | None     # [B] f32 in [0, 2*pad]
+    crop_left: jnp.ndarray | None    # [B] f32
+    flip: jnp.ndarray | None         # [B] bool
+    op_ids: jnp.ndarray | None       # [num_ops, B] i32 into the 14-op space
+    signs: jnp.ndarray | None        # [num_ops, B] f32 in {-1., +1.}
+    er_apply: jnp.ndarray | None     # [B] bool (p-gate AND a valid box)
+    er_top: jnp.ndarray | None       # [B] i32
+    er_left: jnp.ndarray | None      # [B] i32
+    er_h: jnp.ndarray | None         # [B] i32
+    er_w: jnp.ndarray | None         # [B] i32
+    er_noise: jnp.ndarray | None     # [B,H,W,C] f32 N(0,1)
+
+
+def sample_augment_draws(
+    key, shape: Tuple[int, int, int, int], cfg: AugmentConfig,
+    *,
+    erase_scale: Tuple[float, float] = (0.02, 0.20),
+    erase_ratio: Tuple[float, float] = (0.3, 3.3),
+    erase_tries: int = 10,
+) -> AugmentDraws:
+    """Draw every random quantity of the train recipe; key-split order is
+    bit-identical to the fused `augment_train_batch` path."""
+    B, H, W, C = shape
+    none = AugmentDraws(*([None] * 11))
+    if not cfg.enable_augs:
+        return none
+    k_crop, k_flip, k_ra, k_er = jax.random.split(key, 4)
+    kt, kl = jax.random.split(k_crop)
+    top = jax.random.randint(
+        kt, (B,), 0, 2 * cfg.crop_pad + 1).astype(jnp.float32)
+    left = jax.random.randint(
+        kl, (B,), 0, 2 * cfg.crop_pad + 1).astype(jnp.float32)
+    flip = jax.random.uniform(k_flip, (B,)) < cfg.hflip_p
+    op_ids = signs = None
+    if cfg.ra_num_ops > 0:
+        ids, sgn, k = [], [], k_ra
+        for _ in range(cfg.ra_num_ops):
+            k, k_op, k_sign = jax.random.split(k, 3)
+            ids.append(jax.random.randint(k_op, (B,), 0, len(_OP_NAMES)))
+            sgn.append(jnp.where(
+                jax.random.uniform(k_sign, (B,)) < 0.5, -1.0, 1.0))
+        op_ids, signs = jnp.stack(ids), jnp.stack(sgn)
+    draws = none._replace(crop_top=top, crop_left=left, flip=flip,
+                          op_ids=op_ids, signs=signs)
+    if cfg.random_erasing_p > 0:
+        kp, ka, kr, kt2, kl2, kn = jax.random.split(k_er, 6)
+        apply = jax.random.uniform(kp, (B,)) < cfg.random_erasing_p
+        area = jax.random.uniform(
+            ka, (B, erase_tries), minval=erase_scale[0],
+            maxval=erase_scale[1]) * (H * W)
+        aspect = jnp.exp(jax.random.uniform(
+            kr, (B, erase_tries), minval=math.log(erase_ratio[0]),
+            maxval=math.log(erase_ratio[1])))
+        eh = jnp.round(jnp.sqrt(area * aspect)).astype(jnp.int32)
+        ew = jnp.round(jnp.sqrt(area / aspect)).astype(jnp.int32)
+        valid = (eh > 0) & (eh < H) & (ew > 0) & (ew < W)
+        pick = jnp.argmax(valid, axis=1)
+        any_valid = valid.any(axis=1)
+        eh = jnp.take_along_axis(eh, pick[:, None], 1)[:, 0]
+        ew = jnp.take_along_axis(ew, pick[:, None], 1)[:, 0]
+        er_top = jnp.floor(jax.random.uniform(kt2, (B,))
+                           * (H - eh + 1).astype(jnp.float32)).astype(jnp.int32)
+        er_left = jnp.floor(jax.random.uniform(kl2, (B,))
+                            * (W - ew + 1).astype(jnp.float32)).astype(jnp.int32)
+        noise = jax.random.normal(kn, (B, H, W, C), jnp.float32)
+        draws = draws._replace(er_apply=apply & any_valid, er_top=er_top,
+                               er_left=er_left, er_h=eh, er_w=ew,
+                               er_noise=noise)
+    return draws
+
+
+def apply_augment_draws(images_u8, draws: AugmentDraws, cfg: AugmentConfig):
+    """Deterministic application of the train recipe given concrete draws."""
+    x = images_u8.astype(jnp.int32)
+    B, H, W, _ = x.shape
+    if cfg.enable_augs:
+        one = jnp.ones((B,), jnp.float32)
+        zero = jnp.zeros((B,), jnp.float32)
+        p = float(cfg.crop_pad)
+        crop_m = jnp.stack([one, zero, draws.crop_left - p,
+                            zero, one, draws.crop_top - p], 1)
+        a = jnp.where(draws.flip, -1.0, 1.0)
+        c = jnp.where(draws.flip, float(W), 0.0)
+        flip_m = jnp.stack([a, zero, c, zero, one, zero], 1)
+        # crop-then-flip as ONE composed warp (both are exact integer maps)
+        x = _affine_warp_nearest(x, _compose_affine(crop_m, flip_m))
+        if cfg.ra_num_ops > 0:
+            x = rand_augment_apply(x, draws.op_ids, draws.signs,
+                                   cfg.ra_magnitude)
+    xf = normalize_batch(x, cfg.mean, cfg.std)
+    if cfg.enable_augs and cfg.random_erasing_p > 0:
+        ri = jnp.arange(H)[None, :, None]
+        ci = jnp.arange(W)[None, None, :]
+        top, left = draws.er_top, draws.er_left
+        inside = ((ri >= top[:, None, None])
+                  & (ri < (top + draws.er_h)[:, None, None])
+                  & (ci >= left[:, None, None])
+                  & (ci < (left + draws.er_w)[:, None, None]))
+        inside = inside & draws.er_apply[:, None, None]
+        xf = jnp.where(inside[..., None], draws.er_noise, xf)
+    return xf
+
+
 def augment_train_batch(key, images_u8, cfg: AugmentConfig):
     """The full train recipe on device: raw uint8 NHWC -> normalized float32.
     Mirrors data/transforms.TrainTransform (resize, when needed, stays on
     host — it's cheap and cacheable)."""
-    x = images_u8.astype(jnp.int32)
-    if cfg.enable_augs:
-        k_crop, k_flip, k_ra, k_er = jax.random.split(key, 4)
-        B, _, W, _ = x.shape
-        # crop-then-flip as ONE composed warp (both are exact integer maps)
-        m = _compose_affine(_crop_matrix(k_crop, B, cfg.crop_pad),
-                            _flip_matrix(k_flip, B, W, cfg.hflip_p))
-        x = _affine_warp_nearest(x, m)
-        if cfg.ra_num_ops > 0:
-            x = rand_augment_batch(k_ra, x, cfg.ra_num_ops, cfg.ra_magnitude)
-    xf = normalize_batch(x, cfg.mean, cfg.std)
-    if cfg.enable_augs and cfg.random_erasing_p > 0:
-        xf = random_erasing_batch(k_er, xf, cfg.random_erasing_p)
-    return xf
+    draws = sample_augment_draws(key, images_u8.shape, cfg)
+    return apply_augment_draws(images_u8, draws, cfg)

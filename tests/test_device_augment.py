@@ -235,3 +235,54 @@ def test_make_loaders_eval_device_normalize_marker():
     assert va.device_normalize == ((0.5,) * 3, (0.25,) * 3)
     xb, _ = next(iter(te))
     assert xb.dtype == np.uint8  # raw on the wire
+
+
+def test_full_recipe_matches_host_replay():
+    """VERDICT r2 item 3, leg 2: the FULL composed device recipe (crop+flip
+    warp -> RandAugment -> normalize -> erase) equals a host/PIL replay fed
+    the SAME concrete draws — covers composition order and the fused warp,
+    not just each op in isolation."""
+    size, B, num_ops = 20, 16, 2
+    cfg = A.AugmentConfig(mean=(0.507, 0.487, 0.441), std=(0.267, 0.256, 0.276),
+                          crop_pad=4, ra_num_ops=num_ops, ra_magnitude=7,
+                          random_erasing_p=0.6)
+    imgs = _imgs(b=B, size=size, seed=11)
+    key = jax.random.PRNGKey(3)
+    draws = jax.tree.map(np.asarray, A.sample_augment_draws(
+        key, (B, size, size, 3), cfg))
+    dev = np.asarray(jax.jit(
+        lambda x: A.apply_augment_draws(x, draws, cfg))(jnp.asarray(imgs)))
+    # the fused path consumes the key identically (ulp-level diffs only:
+    # baked-in numpy draws const-fold differently than traced ones)
+    fused = np.asarray(A.augment_train_batch(key, jnp.asarray(imgs), cfg))
+    np.testing.assert_allclose(dev, fused, atol=1e-6)
+
+    space = T._ra_space(T._NUM_BINS, size)
+    covered = set()
+    for i in range(B):
+        p = cfg.crop_pad
+        padded = np.pad(imgs[i], ((p, p), (p, p), (0, 0)))
+        t, l = int(draws.crop_top[i]), int(draws.crop_left[i])
+        im = padded[t:t + size, l:l + size]
+        if draws.flip[i]:
+            im = im[:, ::-1]
+        pil = Image.fromarray(np.ascontiguousarray(im))
+        for s in range(num_ops):
+            name = A._OP_NAMES[int(draws.op_ids[s, i])]
+            covered.add(name)
+            mags, signed = space[name]
+            v = float(mags[cfg.ra_magnitude]) if mags is not None else 0.0
+            if signed and draws.signs[s, i] < 0:
+                v = -v
+            pil = T._RA_FNS[name](pil, v)
+        xf = T.normalize(np.asarray(pil), cfg.mean, cfg.std)
+        if draws.er_apply[i]:
+            et, el = int(draws.er_top[i]), int(draws.er_left[i])
+            eh, ew = int(draws.er_h[i]), int(draws.er_w[i])
+            xf[et:et + eh, el:el + ew] = draws.er_noise[i, et:et + eh,
+                                                        el:el + ew]
+        np.testing.assert_allclose(dev[i], xf, atol=2e-6,
+                                   err_msg=f"image {i}: ops "
+                                   f"{[A._OP_NAMES[int(draws.op_ids[s, i])] for s in range(num_ops)]}")
+    assert len(covered) >= 8  # the draw actually exercises the op space
+    assert any(draws.er_apply) and any(draws.flip)

@@ -108,3 +108,24 @@ def test_functional_mhsa_matches_module_math():
     a = a / a.sum(-1, keepdims=True)
     want = np.einsum("bhnm,bhmd->bhnd", a, v)
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+def test_drop_path_semantics():
+    # per-sample mask, survivors scaled by exactly 1/keep (reference
+    # `Outlook_Block.py:7-22`); deterministic path is identity
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from outgridvit_tpu.ops.drop_path import drop_path
+
+    x = jnp.ones((256, 2, 2, 4), jnp.float32)
+    y = np.asarray(drop_path(x, 0.3, jax.random.PRNGKey(0), False))
+    per_sample = y.reshape(256, -1)
+    # each sample is all-zero or all-1/0.7
+    assert ((per_sample == 0).all(axis=1)
+            | np.isclose(per_sample, 1 / 0.7).all(axis=1)).all()
+    kept = (per_sample[:, 0] != 0).mean()
+    assert 0.55 < kept < 0.85
+    z = drop_path(x, 0.3, jax.random.PRNGKey(0), True)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(x))
