@@ -166,27 +166,46 @@ class ChannelMLP(nn.Module):
 
         import os
 
-        # OUTGRIDVIT_FUSED_MLP modes (full-step A/Bs in docs/PERFORMANCE.md:
-        #   t 6658 / unfused 6339 / row 6236 imgs/s on v5e bs128):
-        #   t (default) transposed-layout kernel everywhere; 0 unfused XLA;
-        #   1/true row-layout kernel everywhere; tN (e.g. t48) transposed
-        #   kernel only for C <= N, unfused above.
-        mode = os.environ.get("OUTGRIDVIT_FUSED_MLP", "t").lower()
+        # OUTGRIDVIT_FUSED_MLP modes (full-step A/Bs in docs/PERFORMANCE.md;
+        # 32px flagship: t 6658 / unfused 6339 / row 6236 imgs/s; 64px
+        # TIN-200: row-at-stage0 781 vs t 749 — at 64x64 spatial the t-kernel
+        # boundary pays an XLA relayout copy that outweighs its win):
+        #   auto (default) row kernel for large-spatial narrow-C shapes
+        #   (H*W >= 4096 and C <= 64), transposed kernel otherwise;
+        #   t transposed everywhere; 0 unfused XLA; 1/true row everywhere;
+        #   tN transposed only for C <= N, unfused above; rN row for C <= N
+        #   and transposed above; uN unfused for C <= N, transposed above.
+        mode = os.environ.get("OUTGRIDVIT_FUSED_MLP", "auto").lower()
+        kernel = "t"  # which pallas variant ("t" | "row" | None = unfused)
+        if mode == "auto":
+            spatial = 1
+            for d in x.shape[1:-1]:
+                spatial *= d
+            kernel = "row" if (spatial >= 4096 and C <= 64) else "t"
+        elif mode in ("0", "false", ""):
+            kernel = None
+        elif mode in ("1", "true"):
+            kernel = "row"
+        elif len(mode) > 1 and mode[0] in "tru":
+            try:
+                thr = int(mode[1:])
+                below = {"t": "t", "r": "row", "u": None}[mode[0]]
+                above = None if mode[0] == "t" else "t"
+                kernel = below if C <= thr else above
+            except ValueError:
+                pass
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = (jax.default_backend() == "tpu"
-                          and mode not in ("0", "false", ""))
-            if mode.startswith("t") and len(mode) > 1:
-                try:
-                    use_pallas = use_pallas and C <= int(mode[1:])
-                except ValueError:
-                    pass
+                          and kernel is not None)
+        elif use_pallas and kernel is None:
+            kernel = "t"  # explicit use_pallas=True overrides the env mode
         dropout_active = self.drop > 0.0 and not deterministic
         if use_pallas:
             M = 1
             for d in x.shape[:-1]:
                 M *= d
-            if mode.startswith("t"):
+            if kernel == "t":
                 from outgridvit_tpu.ops.mlp_branch_pallas_t import mlp_t_fits
 
                 if not mlp_t_fits(M, C, hidden, dt):
@@ -197,7 +216,7 @@ class ChannelMLP(nn.Module):
                 # unwritten (and M<8 cannot tile at all) — unfused XLA
                 use_pallas = False
         if use_pallas and not dropout_active:
-            if mode.startswith("t"):
+            if kernel == "t":
                 from outgridvit_tpu.ops.mlp_branch_pallas_t import (
                     mlp_branch_pallas_t as mlp_branch_pallas,
                 )

@@ -72,3 +72,75 @@ def test_layernorm_return_params_matches_apply(ln_params):
     s, b = ln.apply(v, x, return_params=True)
     np.testing.assert_array_equal(np.asarray(s), np.asarray(ls))
     np.testing.assert_array_equal(np.asarray(b), np.asarray(lb))
+
+
+def test_mlp_width_threshold_modes(monkeypatch, ln_params):
+    """rN/uN modes pick the kernel family per channel width: below the
+    threshold row/unfused, above it the transposed kernel (the 64px configs
+    pay an XLA relayout copy at each stage-0 t-kernel boundary)."""
+    import outgridvit_tpu.ops.mlp_branch_pallas as row_mod
+    import outgridvit_tpu.ops.mlp_branch_pallas_t as t_mod
+
+    ls, lb = ln_params
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 48))
+    m = ChannelMLP(dim=48, mlp_ratio=2.0, use_pallas=True)
+    m_xla = ChannelMLP(dim=48, mlp_ratio=2.0, use_pallas=False)
+    v = m_xla.init(jax.random.PRNGKey(1), x)  # shared param tree
+    monkeypatch.setenv("OUTGRIDVIT_FUSED_MLP", "0")
+    want = m_xla.apply(v, x, ln=(ls, lb, 1e-5))
+
+    calls = []
+    real_row, real_t = row_mod.mlp_branch_pallas, t_mod.mlp_branch_pallas_t
+    monkeypatch.setattr(row_mod, "mlp_branch_pallas",
+                        lambda *a, **k: calls.append("row") or real_row(*a, **k))
+    monkeypatch.setattr(t_mod, "mlp_branch_pallas_t",
+                        lambda *a, **k: calls.append("t") or real_t(*a, **k))
+
+    for mode, expect in [("r64", "row"), ("u32", "t"), ("r32", "t"),
+                         ("t64", "t")]:
+        monkeypatch.setenv("OUTGRIDVIT_FUSED_MLP", mode)
+        calls.clear()
+        with pltpu.force_tpu_interpret_mode():
+            got = m.apply(v, x, ln=(ls, lb, 1e-5))
+        assert calls and calls[0] == expect, (mode, calls)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=3e-5)
+
+    # u64: C=48 <= 64 -> unfused XLA, no kernel call
+    m_env = ChannelMLP(dim=48, mlp_ratio=2.0)  # env decides
+    monkeypatch.setenv("OUTGRIDVIT_FUSED_MLP", "u64")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    calls.clear()
+    got = m_env.apply(v, x, ln=(ls, lb, 1e-5))
+    assert not calls
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_mlp_auto_mode_shape_keyed(monkeypatch, ln_params):
+    """auto (default): row kernel at large-spatial narrow-C shapes, t
+    elsewhere (v5e A/B: row wins 64px stage-0, t wins everything 32px)."""
+    import outgridvit_tpu.ops.mlp_branch_pallas as row_mod
+    import outgridvit_tpu.ops.mlp_branch_pallas_t as t_mod
+
+    ls, lb = ln_params
+    monkeypatch.delenv("OUTGRIDVIT_FUSED_MLP", raising=False)
+    calls = []
+    real_row, real_t = row_mod.mlp_branch_pallas, t_mod.mlp_branch_pallas_t
+    monkeypatch.setattr(row_mod, "mlp_branch_pallas",
+                        lambda *a, **k: calls.append("row") or real_row(*a, **k))
+    monkeypatch.setattr(t_mod, "mlp_branch_pallas_t",
+                        lambda *a, **k: calls.append("t") or real_t(*a, **k))
+
+    m = ChannelMLP(dim=48, mlp_ratio=2.0, use_pallas=True)
+    m_xla = ChannelMLP(dim=48, mlp_ratio=2.0, use_pallas=False)
+    for shape, expect in [((1, 64, 64, 48), "row"), ((4, 8, 8, 48), "t")]:
+        x = jax.random.normal(jax.random.PRNGKey(0), shape)
+        v = m_xla.init(jax.random.PRNGKey(1), x)
+        want = m_xla.apply(v, x, ln=(ls, lb, 1e-5))
+        calls.clear()
+        with pltpu.force_tpu_interpret_mode():
+            got = m.apply(v, x, ln=(ls, lb, 1e-5))
+        assert calls and calls[0] == expect, (shape, calls)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=3e-5)
