@@ -77,13 +77,26 @@ def evaluate_one_epoch_logs(
     # `eval_one_epoch_logs.py:120-160`). The timer starts after the first
     # ``warmup_batches`` complete (compile excluded) and stops on a final
     # block, so ms/batch = timed window / timed batches is device-honest.
+    import os
+
+    depth = int(os.environ.get("OUTGRIDVIT_EVAL_DEPTH", 16))
+    tw = int(os.environ.get("OUTGRIDVIT_EVAL_TW", 8))
+    sync_every = int(os.environ.get("OUTGRIDVIT_EVAL_SYNC", -1))
     device_metrics = []
     sizes = []
     t_epoch0 = time.perf_counter()
     t_warm = t_epoch0
     timed_batches = 0
     for bi, batch in enumerate(Prefetcher(iter(loader), sharding=data_shard,
-                                          depth=8, transfer_workers=4)):
+                                          depth=depth, transfer_workers=tw)):
+        if bi == 0 and sync_every < 0:
+            # bound in-flight device input buffers ONLY for the fat
+            # float32-wire batches of non-device-augment configs; the
+            # uint8-wire path is 4x lighter AND a periodic blocking fetch
+            # drains the dispatch runway on a tunneled device (measured
+            # 12.5k -> 6.6k imgs/s with a sync every 32 batches)
+            wire = np.dtype(getattr(batch[0], "dtype", np.float32))
+            sync_every = 64 if wire.itemsize >= 4 else 0
         m = eval_step(state.params, state.batch_stats, batch)
         device_metrics.append(m)
         sizes.append(batch[1].shape[0])
@@ -92,12 +105,7 @@ def evaluate_one_epoch_logs(
             t_warm = time.perf_counter()
         elif bi >= warmup_batches:
             timed_batches += 1
-            if timed_batches % 32 == 0:
-                # bound in-flight device input buffers: with no sync at all
-                # the host can stage an epoch's worth of float batches in
-                # HBM on non-device-augment configs; one blocking fetch per
-                # 32 batches caps residency while keeping round trips
-                # amortized (the wait is device progress, not idle time)
+            if sync_every > 0 and timed_batches % sync_every == 0:
                 float(m["loss"])
     if device_metrics:
         float(device_metrics[-1]["loss"])  # block on the whole chain
