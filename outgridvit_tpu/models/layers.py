@@ -279,6 +279,25 @@ class _DepthwiseConv3x3(nn.Module):
         use_taps = (self.stride == 1
                     and os.environ.get("OUTGRIDVIT_DW_XLA_TAPS", "0")
                     in ("1", "true"))
+        use_bwd_kernel = (self.stride == 1 and not use_t and not use_taps
+                          and jax.default_backend() == "tpu"
+                          and os.environ.get("OUTGRIDVIT_DW_BWD", "0")
+                          in ("1", "true", "auto"))
+        if use_bwd_kernel:
+            from outgridvit_tpu.ops.dwconv_bwd_pallas import (
+                dwconv3x3,
+                dwconv3x3_bwd_feasible,
+            )
+
+            B, H, W, _ = x.shape
+            if dwconv3x3_bwd_feasible(B, H, W, C, jnp.dtype(dt).name):
+                # XLA forward conv + fused one-pass Pallas backward: the
+                # grouped-conv GRAD lowering is the slow half (profiled
+                # ~3.7x over roofline; docs/PERFORMANCE.md round 3)
+                y = dwconv3x3(x.astype(dt), kernel.reshape(9, C).astype(dt))
+                if bias is not None:
+                    y = y + bias.astype(dt)
+                return y
         if use_t:
             from outgridvit_tpu.ops.dwconv_pallas_t import dwconv3x3_t
 
