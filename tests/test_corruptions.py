@@ -184,6 +184,7 @@ def test_window_partition_roundtrip_and_maxvit():
     assert logits.shape == (2, 10)
 
 
+@pytest.mark.slow
 def test_maxvit_tiny_baseline_forward():
     import jax
     import jax.numpy as jnp

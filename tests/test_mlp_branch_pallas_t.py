@@ -43,8 +43,10 @@ def test_mlp_branch_t_odd_rows():
 
 
 def test_mlp_branch_t_grads():
+    # M=64 (not a full stage tile): grads are per-row; larger M only
+    # changes tiling, which the multitile test covers
     act = make_activation("gelu")
-    args = _make(jax.random.PRNGKey(1), 256, 48, 96, jnp.float32)
+    args = _make(jax.random.PRNGKey(1), 64, 48, 96, jnp.float32)
     argnums = tuple(range(7))
 
     def loss_pal(*a):
@@ -64,6 +66,7 @@ def test_mlp_branch_t_grads():
             err_msg=f"gradient mismatch: {n}")
 
 
+@pytest.mark.slow
 def test_mlp_branch_t_matches_row_kernel_multitile(monkeypatch):
     # tiny tile budget forces 3 lane-tiles of 128: exercises the sequential
     # grid and the in-VMEM weight-grad accumulation across tiles
