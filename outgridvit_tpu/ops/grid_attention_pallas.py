@@ -44,9 +44,18 @@ def _pick_pack(N: int) -> int:
     Swept on a v5e (see git history): packing to 128 inflates the masked
     FLOPs faster than it improves shape (these dots are VPU/layout-bound,
     not MXU-bound); N=16 runs best unpacked, while very tiny grids (N<=8)
-    win by ~1.4x when packed to 32-token rows."""
+    win by ~1.4x when packed to 32-token rows.
+
+    ``OUTGRIDVIT_ATTN_PACK=<P>`` overrides the choice for N>=16 shapes
+    (A/B knob: the r2 sweep covered N<=16; the 64px configs run N=64,
+    where packing 2 grids fills the 128-row MXU tile)."""
     if N >= 16:
-        return 1
+        import os
+
+        try:
+            return max(1, int(os.environ.get("OUTGRIDVIT_ATTN_PACK", 1)))
+        except ValueError:
+            return 1
     return max(1, 32 // N)
 
 

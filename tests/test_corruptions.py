@@ -180,7 +180,7 @@ def test_window_partition_roundtrip_and_maxvit():
     model = build_baseline("maxvit_nano", 10)
     xin = jnp.zeros((2, 16, 16, 3))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), xin)
-    logits = model.apply(variables, xin)
+    logits = jax.jit(model.apply)(variables, xin)
     assert logits.shape == (2, 10)
 
 
@@ -212,7 +212,8 @@ def test_swin_baseline_forward_and_mask_semantics():
     model = build_baseline("swin_tiny", 10)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
     variables = jax.jit(model.init)(jax.random.PRNGKey(1), x)
-    logits = model.apply(variables, x)
+    fwd = jax.jit(model.apply)
+    logits = fwd(variables, x)
     assert logits.shape == (2, 10)
     assert bool(jnp.isfinite(logits).all())
 
@@ -222,5 +223,5 @@ def test_swin_baseline_forward_and_mask_semantics():
     # equivariant to half-window shifts of its deeper features. Cheap proxy:
     # logits differ for a half-window-rolled input.
     x2 = jnp.roll(x, shift=(2, 2), axis=(1, 2))
-    logits2 = model.apply(variables, x2)
+    logits2 = fwd(variables, x2)
     assert not np.allclose(np.asarray(logits), np.asarray(logits2), atol=1e-4)

@@ -29,7 +29,9 @@ def setup():
     model = MaxOutNet(num_classes=10, stages=stages, stem_dim=8,
                       use_pallas=False)
     x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 3))
-    variables = model.init(jax.random.PRNGKey(1), x)
+    # jitted: the eager init eats ~12s/run on the 1-vCPU box; the compiled
+    # program comes from the persistent cache on re-runs
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), x)
     return model, variables, x
 
 

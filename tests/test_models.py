@@ -1,4 +1,9 @@
-"""Tiny-model forward tests (mirrors reference `tests/test_models.py:58-84`)."""
+"""Tiny-model forward tests (mirrors reference `tests/test_models.py:58-84`).
+
+init/apply run under ``jax.jit``: on the 1-vCPU test box an eager forward
+dispatches thousands of tiny ops (~10s per model), while the jitted program
+is served from the persistent compilation cache on re-runs.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -22,8 +27,8 @@ def test_model_a_forward():
     model = MaxOutNet(num_classes=10, stages=tiny_stages(), stem_dim=8,
                       dpr_max=0.1, use_pallas=False)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
-    variables = model.init(jax.random.PRNGKey(1), x)
-    logits = model.apply(variables, x)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), x)
+    logits = jax.jit(model.apply)(variables, x)
     assert logits.shape == (2, 10)
     assert bool(jnp.isfinite(logits).all())
 
@@ -33,8 +38,8 @@ def test_model_b_forward():
         num_classes=10, stages=tiny_stages(), stem_dim=8,
         outlooker_front_depth=2, dpr_max=0.1, use_pallas=False)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
-    variables = model.init(jax.random.PRNGKey(1), x)
-    logits = model.apply(variables, x)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), x)
+    logits = jax.jit(model.apply)(variables, x)
     assert logits.shape == (2, 10)
     assert bool(jnp.isfinite(logits).all())
 
@@ -43,12 +48,12 @@ def test_model_a_train_mode_updates_batch_stats():
     model = MaxOutNet(num_classes=10, stages=tiny_stages(), stem_dim=8,
                       use_pallas=False)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
-    variables = model.init(jax.random.PRNGKey(1), x)
-    logits, mutated = model.apply(
-        variables, x, train=True,
-        rngs={"dropout": jax.random.PRNGKey(2), "droppath": jax.random.PRNGKey(3)},
-        mutable=["batch_stats"],
-    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), x)
+    train_apply = jax.jit(lambda v, x, r1, r2: model.apply(
+        v, x, train=True, rngs={"dropout": r1, "droppath": r2},
+        mutable=["batch_stats"]))
+    logits, mutated = train_apply(variables, x, jax.random.PRNGKey(2),
+                                  jax.random.PRNGKey(3))
     assert logits.shape == (2, 10)
     old = jax.tree_util.tree_leaves(variables["batch_stats"])
     new = jax.tree_util.tree_leaves(mutated["batch_stats"])
@@ -65,8 +70,8 @@ def test_ablation_heads_zero_skips_branches():
         model = MaxOutNet(num_classes=10, stages=stages, stem_dim=8,
                           use_pallas=False)
         x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
-        variables = model.init(jax.random.PRNGKey(1), x)
-        logits = model.apply(variables, x)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(1), x)
+        logits = jax.jit(model.apply)(variables, x)
         assert logits.shape == (2, 10)
         assert bool(jnp.isfinite(logits).all())
 
@@ -84,14 +89,14 @@ def test_build_model_from_config_dict():
     }
     model = build_model(cfg, use_pallas=False)
     x = jnp.zeros((1, 8, 8, 3))
-    variables = model.init(jax.random.PRNGKey(0), x)
-    assert model.apply(variables, x).shape == (1, 10)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    assert jax.jit(model.apply)(variables, x).shape == (1, 10)
 
     cfg["type"] = "model_b"
     cfg["outlooker_front_depth"] = 1
     model_b = build_model(cfg, use_pallas=False)
-    variables = model_b.init(jax.random.PRNGKey(0), x)
-    assert model_b.apply(variables, x).shape == (1, 10)
+    variables = jax.jit(model_b.init)(jax.random.PRNGKey(0), x)
+    assert jax.jit(model_b.apply)(variables, x).shape == (1, 10)
 
     cfg["type"] = "nope"
     with pytest.raises(ValueError):
@@ -102,9 +107,9 @@ def test_capture_intermediates():
     model = MaxOutNet(num_classes=10, stages=tiny_stages(), stem_dim=8,
                       use_pallas=False)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
-    variables = model.init(jax.random.PRNGKey(1), x)
-    logits, aux = model.apply(variables, x, capture=True,
-                              mutable=["intermediates"])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), x)
+    logits, aux = jax.jit(lambda v, x: model.apply(
+        v, x, capture=True, mutable=["intermediates"]))(variables, x)
     inter = aux["intermediates"]
     flat = jax.tree_util.tree_leaves_with_path(inter)
     paths = ["/".join(str(p) for p in path) for path, _ in flat]

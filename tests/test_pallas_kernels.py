@@ -93,3 +93,17 @@ def test_grid_mhsa_pallas_more_shapes(Bgrp, N, C, heads):
     want = _xla_ref(qkv, heads)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=3e-5)
+
+
+def test_grid_mhsa_pack_override_matches_unpacked(monkeypatch):
+    """OUTGRIDVIT_ATTN_PACK packs P grids into one masked 128-row attention
+    for N>=16 shapes (an A/B knob for the 64px N=64 stage). The mask must
+    keep the packed result identical to the unpacked one."""
+    monkeypatch.setenv("OUTGRIDVIT_ATTN_PACK", "2")
+    qkv = jax.random.normal(jax.random.PRNGKey(2), (16, 64, 3 * 64),
+                            jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = grid_mhsa_pallas(qkv, 2)
+    want = _xla_ref(qkv, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)

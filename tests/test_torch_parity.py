@@ -64,9 +64,10 @@ def _compare(torch_model, flax_model, img_hw=16, atol=1e-4):
     with torch.no_grad():
         ref = torch_model(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
 
-    variables = flax_model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # jitted: the eager op-by-op forward costs ~10s/model on the 1-vCPU box
+    variables = jax.jit(flax_model.init)(jax.random.PRNGKey(0), jnp.asarray(x))
     variables = port_torch_state_dict(torch_model.state_dict(), variables)
-    got = np.asarray(flax_model.apply(variables, jnp.asarray(x)))
+    got = np.asarray(jax.jit(flax_model.apply)(variables, jnp.asarray(x)))
 
     np.testing.assert_allclose(got, ref, atol=atol, rtol=0)
 
