@@ -13,16 +13,20 @@ from outgridvit_tpu.data.corruptions import (
 )
 
 
-@pytest.fixture
-def fake_c100c(tmp_path):
+@pytest.fixture(scope="module")
+def fake_c100c(tmp_path_factory):
+    # module-scoped and tiled: generating 2x153MB of fresh random bytes per
+    # test was ~45s of the suite; the consumers only need the on-disk shape
+    # and the labels, not 50k unique images
+    tmp_path = tmp_path_factory.mktemp("c100c")
     base = tmp_path / "CIFAR-100-C"
     base.mkdir()
     rng = np.random.default_rng(0)
     labels = rng.integers(0, 100, size=50000).astype(np.int64)
     np.save(base / "labels.npy", labels)
+    block = rng.integers(0, 255, size=(1000, 32, 32, 3), dtype=np.uint8)
     for name in ("gaussian_noise", "fog"):
-        imgs = rng.integers(0, 255, size=(50000, 32, 32, 3), dtype=np.uint8)
-        np.save(base / f"{name}.npy", imgs)
+        np.save(base / f"{name}.npy", np.tile(block, (50, 1, 1, 1)))
     return tmp_path
 
 
@@ -120,7 +124,7 @@ def test_baseline_zoo_forward():
     for name in ("resnet18_cifar", "vit_micro_patch4"):
         model = build_baseline(name, 10)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
-        logits = model.apply(variables, x)
+        logits = jax.jit(model.apply)(variables, x)
         assert logits.shape == (2, 10)
     with pytest.raises(ValueError):
         build_baseline("alexnet", 10)
