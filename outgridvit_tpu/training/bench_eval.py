@@ -59,8 +59,16 @@ def evaluate_one_epoch_logs(
     model_fn=None,
     example_batch=None,
     verbose: bool = True,
+    eval_superstep=None,
+    k: int = 1,
 ):
-    """Timed eval epoch. ``eval_step`` as from ``make_eval_step``."""
+    """Timed eval epoch. ``eval_step`` as from ``make_eval_step``.
+
+    ``eval_superstep``/``k``: when provided (from ``make_eval_superstep``),
+    runs of ``k`` full-size batches are stacked host-side and evaluated by
+    ONE dispatched program — one transfer + one dispatch per ``k`` batches
+    (the eval twin of the train path's K-step scan; ragged tails fall back
+    to ``eval_step``)."""
     from outgridvit_tpu.data.pipeline import Prefetcher
 
     n_params = count_params(state.params)
@@ -75,19 +83,38 @@ def evaluate_one_epoch_logs(
     # tunneled device that is ~70 ms/batch and dominates the measurement;
     # the reference's CUDA-event timing has no such cost,
     # `eval_one_epoch_logs.py:120-160`). The timer starts after the first
-    # ``warmup_batches`` complete (compile excluded) and stops on a final
-    # block, so ms/batch = timed window / timed batches is device-honest.
+    # ``warmup_batches`` dispatches complete (compile excluded) and stops on
+    # a final block, so the timed window is device-honest.
+    import itertools
     import os
 
     depth = int(os.environ.get("OUTGRIDVIT_EVAL_DEPTH", 16))
     tw = int(os.environ.get("OUTGRIDVIT_EVAL_TW", 8))
     sync_every = int(os.environ.get("OUTGRIDVIT_EVAL_SYNC", -1))
+
+    host_iter = iter(loader)
+    if eval_superstep is not None and k > 1:
+        from outgridvit_tpu.training.loop import _group_batches
+
+        try:
+            first = next(host_iter)
+        except StopIteration:
+            host_iter = iter(())
+        else:
+            host_iter = _group_batches(
+                itertools.chain([first], host_iter), k, first[1].shape[0])
+
+    def _last_loss(m):
+        return float(np.asarray(jax.device_get(m["loss"])).ravel()[-1])
+
     device_metrics = []
-    sizes = []
+    sizes = []  # one [n_batches_in_dispatch] array per dispatch
     t_epoch0 = time.perf_counter()
     t_warm = t_epoch0
+    timed_dispatches = 0
+    timed_images = 0
     timed_batches = 0
-    for bi, batch in enumerate(Prefetcher(iter(loader), sharding=data_shard,
+    for bi, batch in enumerate(Prefetcher(host_iter, sharding=data_shard,
                                           depth=depth, transfer_workers=tw)):
         if bi == 0 and sync_every < 0:
             # bound in-flight device input buffers ONLY for the fat
@@ -97,18 +124,26 @@ def evaluate_one_epoch_logs(
             # 12.5k -> 6.6k imgs/s with a sync every 32 batches)
             wire = np.dtype(getattr(batch[0], "dtype", np.float32))
             sync_every = 64 if wire.itemsize >= 4 else 0
-        m = eval_step(state.params, state.batch_stats, batch)
+        labels = batch[1]
+        if labels.ndim == 2:  # [K, B] superbatch
+            m = eval_superstep(state.params, state.batch_stats, batch)
+            bsz = np.full(labels.shape[0], labels.shape[1], dtype=np.int64)
+        else:
+            m = eval_step(state.params, state.batch_stats, batch)
+            bsz = np.array([labels.shape[0]], dtype=np.int64)
         device_metrics.append(m)
-        sizes.append(batch[1].shape[0])
+        sizes.append(bsz)
         if bi == warmup_batches - 1:
-            float(m["loss"])  # drain warmup+compile, then start the clock
+            _last_loss(m)  # drain warmup+compile, then start the clock
             t_warm = time.perf_counter()
         elif bi >= warmup_batches:
-            timed_batches += 1
-            if sync_every > 0 and timed_batches % sync_every == 0:
-                float(m["loss"])
+            timed_dispatches += 1
+            timed_images += int(bsz.sum())
+            timed_batches += len(bsz)
+            if sync_every > 0 and timed_dispatches % sync_every == 0:
+                _last_loss(m)
     if device_metrics:
-        float(device_metrics[-1]["loss"])  # block on the whole chain
+        _last_loss(device_metrics[-1])  # block on the whole chain
     t_end = time.perf_counter()
     epoch_s = t_end - t_epoch0
     batch_times = ([(t_end - t_warm) / timed_batches] if timed_batches
@@ -117,10 +152,11 @@ def evaluate_one_epoch_logs(
     # top-k stay device-side during the loop; one bulk fetch afterwards
     # (per-scalar float() is a host round trip each, see loop.drain())
     fetched = jax.device_get(device_metrics)
-    n = int(sum(sizes))
+    n = int(sum(int(b.sum()) for b in sizes))
     totals = {
-        k: sum(float(d[k]) * b for d, b in zip(fetched, sizes))
-        for k in ("loss", "top1", "top3", "top5")
+        key: float(sum((np.asarray(d[key], dtype=np.float64) * b).sum()
+                       for d, b in zip(fetched, sizes)))
+        for key in ("loss", "top1", "top3", "top5")
     }
 
     try:
@@ -137,7 +173,7 @@ def evaluate_one_epoch_logs(
         "top5": totals["top5"] / max(1, n),
         # steady-state rate over the post-warmup window (compile excluded;
         # whole-epoch wall time incl. compile is in epoch_seconds)
-        "imgs_per_sec": (sum(sizes[warmup_batches:]) / max(t_end - t_warm, 1e-9)
+        "imgs_per_sec": (timed_images / max(t_end - t_warm, 1e-9)
                          if timed_batches else n / max(epoch_s, 1e-9)),
         "ms_per_batch": 1000.0 * float(np.mean(batch_times)) if batch_times else float("nan"),
         "epoch_seconds": epoch_s,

@@ -193,3 +193,30 @@ def make_eval_step(apply_fn, label_smoothing: float = 0.0, jit: bool = True,
     if jit:
         return jax.jit(eval_step, **jit_kwargs)
     return eval_step
+
+
+def make_eval_superstep(apply_fn, label_smoothing: float = 0.0,
+                        jit: bool = True, normalize=None, **jit_kwargs):
+    """K eval batches in ONE dispatched XLA program via ``lax.scan`` — the
+    eval twin of :func:`make_train_superstep`.
+
+    (params, batch_stats, (images [K,B,...], labels [K,B])) ->
+    metrics dict of [K] arrays, bit-identical to K sequential
+    :func:`make_eval_step` calls.
+
+    The eval epoch is dominated by per-batch host->device transfers and
+    dispatches on remote-device links (docs/PERFORMANCE.md); stacking K
+    batches turns K puts + K dispatches into one of each."""
+    inner = make_eval_step(apply_fn, label_smoothing, jit=False,
+                           normalize=normalize)
+
+    def eval_superstep(params, batch_stats, superbatch):
+        def body(carry, batch):
+            return carry, inner(params, batch_stats, batch)
+
+        _, ms = jax.lax.scan(body, 0, superbatch)
+        return ms
+
+    if jit:
+        return jax.jit(eval_superstep, **jit_kwargs)
+    return eval_superstep

@@ -27,8 +27,21 @@ def main() -> int:
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--split", default="test", choices=["train", "val", "test"])
     ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--eval-k", type=int, default=-1,
+                    help="batches scanned per dispatched program "
+                    "(-1 auto: 8 on the uint8 wire, 1 otherwise)")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--device", default=None, choices=["cpu", "tpu", "auto"],
+                    help="override the config's runtime.device")
     args = ap.parse_args()
+
+    cfg = yaml.safe_load(Path(args.config).read_text())
+    device = (args.device
+              or str(cfg.get("runtime", {}).get("device", "auto"))).lower()
+    if device == "cpu":  # must happen before any backend init (train.py:87)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
@@ -37,11 +50,13 @@ def main() -> int:
     from outgridvit_tpu.models import build_model
     from outgridvit_tpu.parallel import batch_sharding, make_mesh
     from outgridvit_tpu.training.bench_eval import evaluate_one_epoch_logs
-    from outgridvit_tpu.training.steps import make_eval_step
+    from outgridvit_tpu.training.steps import (
+        make_eval_step,
+        make_eval_superstep,
+    )
     from outgridvit_tpu.training.train_state import TrainState
     from outgridvit_tpu.training.optim import make_optimizer
 
-    cfg = yaml.safe_load(Path(args.config).read_text())
     model_cfg = cfg.get("model", {})
     data_cfg = dict(cfg.get("data", {}))
     if args.batch_size:
@@ -71,13 +86,19 @@ def main() -> int:
         print(f"Loaded {args.checkpoint}")
 
     mesh = make_mesh()
-    eval_step = make_eval_step(
-        model.apply, normalize=getattr(loader, "device_normalize", None))
+    normalize = getattr(loader, "device_normalize", None)
+    eval_step = make_eval_step(model.apply, normalize=normalize)
+    k = args.eval_k
+    if k < 0:  # auto: scan-dispatch only the light uint8 wire
+        k = 8 if normalize is not None else 1
+    eval_superstep = (make_eval_superstep(model.apply, normalize=normalize)
+                      if k > 1 else None)
     metrics = evaluate_one_epoch_logs(
         eval_step, state, loader, data_shard=batch_sharding(mesh),
         model_fn=lambda x: model.apply(
             {"params": state.params, "batch_stats": state.batch_stats}, x),
         example_batch=jnp.zeros(x0.shape, jnp.float32),
+        eval_superstep=eval_superstep, k=k,
     )
     if args.json_out:
         Path(args.json_out).write_text(json.dumps(metrics, indent=2))

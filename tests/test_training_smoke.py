@@ -144,6 +144,51 @@ def test_superstep_matches_sequential_steps():
                                        rtol=1e-5, atol=1e-6)
 
 
+def test_eval_superstep_matches_sequential_and_epoch_metrics():
+    """The K-scanned eval dispatch must be bit-identical to K sequential
+    eval steps, and evaluate_one_epoch_logs with k>1 (incl. a ragged tail
+    that falls back to single steps) must report the same loss/top-k."""
+    import jax
+    import jax.numpy as jnp
+
+    from outgridvit_tpu.training.bench_eval import evaluate_one_epoch_logs
+    from outgridvit_tpu.training.optim import make_optimizer
+    from outgridvit_tpu.training.steps import (
+        make_eval_step, make_eval_superstep)
+    from outgridvit_tpu.training.train_state import TrainState
+
+    model = tiny_model()
+    K, bs = 3, 4
+    xs = jax.random.normal(jax.random.PRNGKey(0), (K, bs, 8, 8, 3))
+    ys = (jnp.arange(K * bs) % 10).reshape(K, bs)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), xs[0])
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(1e-3))
+
+    estep = make_eval_step(model.apply)
+    esuper = make_eval_superstep(model.apply)
+    msup = esuper(state.params, state.batch_stats, (xs, ys))
+    for i in range(K):
+        m = estep(state.params, state.batch_stats, (xs[i], ys[i]))
+        for key in m:
+            np.testing.assert_allclose(float(msup[key][i]), float(m[key]),
+                                       rtol=1e-6, atol=1e-7)
+
+    # 5 batches through k=2 superdispatch (2 superbatches + 1 tail) must
+    # report the same epoch metrics as the per-batch path
+    batches = [(np.asarray(jax.random.normal(jax.random.PRNGKey(10 + i),
+                                             (bs, 8, 8, 3))),
+                np.asarray((jnp.arange(bs) + i) % 10)) for i in range(5)]
+    m1 = evaluate_one_epoch_logs(estep, state, batches, warmup_batches=0,
+                                 verbose=False)
+    m2 = evaluate_one_epoch_logs(estep, state, batches, warmup_batches=0,
+                                 verbose=False, eval_superstep=esuper, k=2)
+    for key in ("loss", "top1", "top3", "top5", "num_images"):
+        np.testing.assert_allclose(m2[key], m1[key], rtol=1e-6, atol=1e-6)
+
+
 def test_grouped_batches_superdispatch_epoch(tmp_path):
     """train_model with steps_per_dispatch>1: full groups scan, the ragged
     tail and <K remainder run as singles; history means unchanged."""
