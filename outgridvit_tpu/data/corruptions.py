@@ -26,7 +26,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 from outgridvit_tpu.data.pipeline import ArrayDataLoader
-from outgridvit_tpu.data.transforms import EvalTransform
+from outgridvit_tpu.data.transforms import EvalTransform, RawTransform
 from outgridvit_tpu.data.datasets import (
     CIFAR100_MEAN,
     CIFAR100_STD,
@@ -68,9 +68,15 @@ def get_cifar100c_loader(
     batch_size: int = 256,
     img_size: int = 32,
     num_workers: int = 8,
+    device_normalize: bool = False,
 ):
     """One (corruption, severity) split — exactly 10k images (the reference
-    hard-checks this, `load_cifrar100_C.py:30-41`)."""
+    hard-checks this, `load_cifrar100_C.py:30-41`).
+
+    ``device_normalize=True`` keeps batches uint8 on the wire (4x less
+    host->device traffic) and tags the loader with the (mean, std) for the
+    jitted eval step to normalize on device — same contract as the main
+    eval loaders (`datasets.py` device_augment path)."""
     if not (1 <= severity <= 5):
         raise ValueError("severity must be in 1..5")
     base = _find_cifar100c_dir(data_dir)
@@ -87,10 +93,14 @@ def get_cifar100c_loader(
             f"expected exactly 10000 rows for {corruption}@{severity}, got "
             f"{len(images)}"
         )
-    tf = EvalTransform(img_size, CIFAR100_MEAN, CIFAR100_STD)
-    return ArrayDataLoader(images, labels, batch_size=batch_size,
-                           shuffle=False, transform=tf,
-                           num_threads=max(1, num_workers))
+    tf = (RawTransform(img_size) if device_normalize
+          else EvalTransform(img_size, CIFAR100_MEAN, CIFAR100_STD))
+    loader = ArrayDataLoader(images, labels, batch_size=batch_size,
+                             shuffle=False, transform=tf,
+                             num_threads=max(1, num_workers))
+    loader.device_normalize = ((CIFAR100_MEAN, CIFAR100_STD)
+                               if device_normalize else None)
+    return loader
 
 
 def evaluate_cifar100c_suite(
@@ -100,6 +110,7 @@ def evaluate_cifar100c_suite(
     severities: Sequence[int] = (1, 2, 3, 4, 5),
     batch_size: int = 256,
     verbose: bool = True,
+    device_normalize: bool = False,
 ) -> List[dict]:
     """Sweep corruptions x severities (reference `load_cifrar100_C.py:106-152`).
     ``evaluate_one_epoch_fn(loader) -> (loss, {"top1": ..., ...})``."""
@@ -112,7 +123,8 @@ def evaluate_cifar100c_suite(
     for corruption in corruptions:
         for severity in severities:
             loader = get_cifar100c_loader(
-                corruption, severity, data_dir, batch_size)
+                corruption, severity, data_dir, batch_size,
+                device_normalize=device_normalize)
             loss, metrics = evaluate_one_epoch_fn(loader)
             row = {"corruption": corruption, "severity": int(severity),
                    "loss": float(loss), **{k: float(v) for k, v in metrics.items()}}
@@ -184,6 +196,7 @@ def get_tinyimagenet200c_loader_intersection(
     batch_size: int = 256,
     img_size: int = 64,
     num_workers: int = 8,
+    device_normalize: bool = False,
 ):
     """Loader over the intersection of C-set wnids and clean-train wnids,
     remapped onto the clean label indices (reference
@@ -206,11 +219,14 @@ def get_tinyimagenet200c_loader_intersection(
         raise ValueError(
             f"no overlapping classes between clean set and {corruption}@{severity}"
         )
-    tf = EvalTransform(img_size, IMAGENET_MEAN, IMAGENET_STD)
+    tf = (RawTransform(img_size) if device_normalize
+          else EvalTransform(img_size, IMAGENET_MEAN, IMAGENET_STD))
     loader = ArrayDataLoader(
         _ImageFileView(paths), np.asarray(labels, dtype=np.int64),
         batch_size=batch_size, shuffle=False, transform=tf,
         num_threads=max(1, num_workers))
+    loader.device_normalize = ((IMAGENET_MEAN, IMAGENET_STD)
+                               if device_normalize else None)
     return loader, kept
 
 
@@ -223,6 +239,7 @@ def evaluate_tinyc_suite(
     batch_size: int = 256,
     img_size: int = 64,
     verbose: bool = True,
+    device_normalize: bool = False,
 ) -> List[dict]:
     """Reference `evaluate_tinyc_suite` (`load_tinyimagenet_C.py:266-311`)."""
     if corruptions is None:
@@ -232,7 +249,8 @@ def evaluate_tinyc_suite(
         for severity in severities:
             loader, kept = get_tinyimagenet200c_loader_intersection(
                 corruption, severity, data_dir, clean_wnid_to_label,
-                batch_size=batch_size, img_size=img_size)
+                batch_size=batch_size, img_size=img_size,
+                device_normalize=device_normalize)
             loss, metrics = evaluate_one_epoch_fn(loader)
             row = {"corruption": corruption, "severity": int(severity),
                    "n_classes": len(kept), "loss": float(loss),
@@ -256,6 +274,7 @@ def get_tiny_clean_intersection_loader(
     batch_size: int = 256,
     img_size: int = 64,
     num_workers: int = 8,
+    device_normalize: bool = False,
 ):
     """Clean Tiny-ImageNet test set filtered to the classes that also exist
     in the corruption set (reference `load_tinyimagenet_C.py:334-398` — the
@@ -292,10 +311,13 @@ def get_tiny_clean_intersection_loader(
         def __len__(self):
             return len(idxs)
 
-    tf = EvalTransform(img_size, IMAGENET_MEAN, IMAGENET_STD)
+    tf = (RawTransform(img_size) if device_normalize
+          else EvalTransform(img_size, IMAGENET_MEAN, IMAGENET_STD))
     loader = ArrayDataLoader(
         _Sub(), labels[idxs].astype(np.int64), batch_size=batch_size,
         shuffle=False, transform=tf, num_threads=max(1, num_workers))
+    loader.device_normalize = ((IMAGENET_MEAN, IMAGENET_STD)
+                               if device_normalize else None)
     return loader, kept_set
 
 

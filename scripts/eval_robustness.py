@@ -34,25 +34,46 @@ def main() -> int:
     ap.add_argument("--corruptions", nargs="*", default=None)
     ap.add_argument("--severities", nargs="*", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--eval-k", type=int, default=8,
+                    help="batches scanned per dispatched program")
+    ap.add_argument("--host-normalize", action="store_true",
+                    help="normalize on the host (float32 wire) instead of "
+                    "the default uint8 wire + in-jit normalize")
+    ap.add_argument("--device", default=None, choices=["cpu", "tpu", "auto"],
+                    help="override the config's runtime.device")
     ap.add_argument("--json-out", default="robustness_results.json")
     args = ap.parse_args()
+
+    cfg = yaml.safe_load(Path(args.config).read_text())
+    device = (args.device
+              or str(cfg.get("runtime", {}).get("device", "auto"))).lower()
+    if device == "cpu":  # before any backend init (train.py:87)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
 
     from outgridvit_tpu.data.corruptions import (
+        CIFAR100_MEAN,
+        CIFAR100_STD,
+        IMAGENET_MEAN,
+        IMAGENET_STD,
         evaluate_cifar100c_suite,
         evaluate_tinyc_suite,
         summarize_corruption_results,
     )
-    from outgridvit_tpu.data.pipeline import Prefetcher
     from outgridvit_tpu.models import build_model
     from outgridvit_tpu.parallel import batch_sharding, make_mesh
+    from outgridvit_tpu.training.bench_eval import evaluate_one_epoch_logs
     from outgridvit_tpu.training.optim import make_optimizer
-    from outgridvit_tpu.training.steps import make_eval_step
+    from outgridvit_tpu.training.steps import (
+        make_eval_step,
+        make_eval_superstep,
+    )
     from outgridvit_tpu.training.train_state import TrainState
 
-    cfg = yaml.safe_load(Path(args.config).read_text())
     model_cfg = cfg.get("model", {})
     data_dir = args.data_dir or str(cfg.get("data", {}).get("data_dir", "./data"))
     img_size = int(cfg.get("data", {}).get("img_size", 32))
@@ -73,34 +94,33 @@ def main() -> int:
 
     mesh = make_mesh()
     shard = batch_sharding(mesh)
-    eval_step = make_eval_step(model.apply)
+    # default: uint8 wire + in-jit normalize (4x less transfer) and K
+    # batches scanned per dispatched program — the whole 75-setting sweep
+    # is transfer/dispatch-bound on remote-device links
+    device_normalize = not args.host_normalize
+    norm = None
+    if device_normalize:
+        norm = ((CIFAR100_MEAN, CIFAR100_STD) if args.suite == "cifar100c"
+                else (IMAGENET_MEAN, IMAGENET_STD))
+    k = max(1, args.eval_k)
+    eval_step = make_eval_step(model.apply, normalize=norm)
+    eval_superstep = (make_eval_superstep(model.apply, normalize=norm)
+                      if k > 1 else None)
 
     def evaluate_one_epoch_fn(loader):
-        # metrics stay device-side during the epoch; ONE bulk fetch at the
-        # end (a per-batch float() is 4 host round trips per batch — ruinous
-        # over remote-device links, same rationale as loop._run_eval)
-        import jax
-
-        device_metrics, sizes = [], []
-        for batch in Prefetcher(iter(loader), sharding=shard):
-            device_metrics.append(
-                eval_step(state.params, state.batch_stats, batch))
-            sizes.append(batch[1].shape[0])
-        fetched = jax.device_get(device_metrics)
-        n = max(1, sum(sizes))
-        totals = {
-            k: sum(float(d[k]) * b for d, b in zip(fetched, sizes)) / n
-            for k in ("loss", "top1", "top3", "top5")
-        }
-        loss = totals.pop("loss")
-        return loss, totals
+        # pipelined epoch: prefetched overlapped transfers, K-scanned
+        # dispatches, metrics bulk-fetched once (bench_eval.py)
+        m = evaluate_one_epoch_logs(
+            eval_step, state, loader, data_shard=shard, warmup_batches=0,
+            verbose=False, eval_superstep=eval_superstep, k=k)
+        return m["loss"], {key: m[key] for key in ("top1", "top3", "top5")}
 
     if args.suite == "cifar100c":
         rows = evaluate_cifar100c_suite(
             evaluate_one_epoch_fn, data_dir,
             corruptions=args.corruptions or None,
             severities=tuple(args.severities or (1, 2, 3, 4, 5)),
-            batch_size=args.batch_size)
+            batch_size=args.batch_size, device_normalize=device_normalize)
     else:
         from outgridvit_tpu.data.datasets import tinyimagenet_wnid_to_label
 
@@ -110,7 +130,8 @@ def main() -> int:
             evaluate_one_epoch_fn, wnid_map, data_dir,
             corruptions=args.corruptions or None,
             severities=tuple(args.severities or (1, 3, 5)),
-            batch_size=args.batch_size, img_size=img_size)
+            batch_size=args.batch_size, img_size=img_size,
+            device_normalize=device_normalize)
 
     summary = summarize_corruption_results(rows)
     print("\n=== Robustness summary ===")

@@ -229,3 +229,53 @@ def test_swin_baseline_forward_and_mask_semantics():
     x2 = jnp.roll(x, shift=(2, 2), axis=(1, 2))
     logits2 = fwd(variables, x2)
     assert not np.allclose(np.asarray(logits), np.asarray(logits2), atol=1e-4)
+
+
+def test_cifar100c_uint8_wire_matches_host_normalize(fake_c100c):
+    """The robustness sweep's default path (uint8 wire + in-jit normalize +
+    K-scanned eval dispatch, incl. a ragged tail) must report the same
+    metrics as host-side float32 normalization with per-batch dispatch."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from outgridvit_tpu.data.corruptions import CIFAR100_MEAN, CIFAR100_STD
+    from outgridvit_tpu.training.bench_eval import evaluate_one_epoch_logs
+    from outgridvit_tpu.training.optim import make_optimizer
+    from outgridvit_tpu.training.steps import (
+        make_eval_step, make_eval_superstep)
+    from outgridvit_tpu.training.train_state import TrainState
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), strides=2)(x)
+            x = nn.relu(x)
+            return nn.Dense(100)(x.mean(axis=(1, 2)))
+
+    model = Tiny()
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats={}, tx=make_optimizer(1e-3))
+
+    host = get_cifar100c_loader("fog", 2, str(fake_c100c), batch_size=2000)
+    wire = get_cifar100c_loader("fog", 2, str(fake_c100c), batch_size=2000,
+                                device_normalize=True)
+    assert wire.device_normalize == (CIFAR100_MEAN, CIFAR100_STD)
+    assert next(iter(wire))[0].dtype == np.uint8
+    assert host.device_normalize is None
+
+    m_host = evaluate_one_epoch_logs(
+        make_eval_step(model.apply), state, host,
+        warmup_batches=0, verbose=False)
+    norm = (CIFAR100_MEAN, CIFAR100_STD)
+    m_wire = evaluate_one_epoch_logs(
+        make_eval_step(model.apply, normalize=norm), state, wire,
+        warmup_batches=0, verbose=False,
+        eval_superstep=make_eval_superstep(model.apply, normalize=norm), k=2)
+    assert m_wire["num_images"] == m_host["num_images"] == 10000
+    for key in ("loss", "top1", "top3", "top5"):
+        np.testing.assert_allclose(m_wire[key], m_host[key],
+                                   rtol=1e-5, atol=1e-5)
