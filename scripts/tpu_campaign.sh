@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Round-3 TPU measurement campaign — run when the device is reachable.
+# One TPU process at a time (single chip); every step bounded by timeout;
+# results land in outputs/campaign/*.json for docs/PERFORMANCE.md.
+#
+# Experiments (VERDICT r2 "Next round" items 1/2/6):
+#   1. canonical flagship number (bench.py, default env)
+#   2. fused dw-conv backward kernel A/B (same-process alternating legs)
+#      on the 64px TIN config and the 32px flagship
+#   3. grid-pack P=2 at the 64px N=64 stages
+#   4. eval superstep k=1 vs k=8 (same-process alternating epochs)
+set -uo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p outputs/campaign
+
+run() { # run <name> <timeout_s> <cmd...>
+  local name="$1" t="$2"; shift 2
+  echo "=== $name ===" >&2
+  timeout "$t" "$@" >"outputs/campaign/$name.json" 2>"outputs/campaign/$name.log"
+  echo "--- $name rc=$? ---" >&2
+  tail -c 400 "outputs/campaign/$name.json" >&2 || true
+  echo >&2
+}
+
+run bench_default 1800 python bench.py
+
+run ab_dwbwd_tin64 2400 python scripts/ab_env.py \
+  --config configs/tinyimagenet200_model_a.yaml \
+  --env OUTGRIDVIT_DW_BWD=1 --batch 128 --k 8 --legs 6 --steps 48
+
+run ab_dwbwd_flagship 2400 python scripts/ab_env.py \
+  --config configs/cifar100_model_a_7m.yaml \
+  --env OUTGRIDVIT_DW_BWD=1 --batch 128 --k 8 --legs 6 --steps 96
+
+run ab_pack2_tin64 2400 python scripts/ab_env.py \
+  --config configs/tinyimagenet200_model_a.yaml \
+  --env OUTGRIDVIT_ATTN_PACK=2 --batch 128 --k 8 --legs 6 --steps 48
+
+run ab_eval_k_flagship 2400 python scripts/ab_eval_k.py \
+  --config configs/cifar100_model_a_7m.yaml --ks 1 8 --reps 3 \
+  --batch-size 256 --num-samples 20480
+
+echo "campaign done; results in outputs/campaign/" >&2
