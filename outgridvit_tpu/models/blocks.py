@@ -67,8 +67,14 @@ class OutlookAttention2d(nn.Module):
 
         a = nn.Dense(heads * kk, use_bias=self.qkv_bias, dtype=self.dtype,
                      name="attn")(x)
-        v = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
-                     name="v")(x)
+        # v/proj as raw params (same tree/init as nn.Dense) so the fused
+        # aggregate+projection Pallas path shares the checkpoint layout
+        vw, vb = DenseParams(self.dim, use_bias=self.qkv_bias, name="v")(C)
+        pw, pb = DenseParams(self.dim, use_bias=True, name="proj")(self.dim)
+        dt = self.dtype
+        v = x.astype(dt) @ vw.astype(dt)
+        if vb is not None:
+            v = v + vb.astype(dt)
 
         # A fused Pallas outlook kernel exists
         # (outgridvit_tpu/ops/outlook_pallas.py) but measured SLOWER than
@@ -93,9 +99,35 @@ class OutlookAttention2d(nn.Module):
                          a.astype(jnp.float32))
             a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(x.dtype)
             a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
+            # Fused aggregate+projection kernel (ops/outlook_agg_pallas.py):
+            # v and attn read ONCE per image instead of XLA's 9 shifted
+            # re-reads, the aggregate never touches HBM, projection on the
+            # MXU in-kernel. Opt-in via OUTGRIDVIT_OUTAGG=1 (stride-1 K=3
+            # only) pending the on-chip A/B; use_pallas="fused_agg" forces
+            # it for tests.
+            import os
+
+            fuse = (self.use_pallas == "fused_agg"
+                    or (s == 1 and k == 3
+                        and os.environ.get("OUTGRIDVIT_OUTAGG", "0") == "1"
+                        and jax.default_backend() == "tpu"))
+            if fuse and s == 1 and k == 3:
+                from outgridvit_tpu.ops.outlook_agg_pallas import (
+                    outlook_agg_feasible,
+                    outlook_attention_proj_pallas,
+                )
+
+                if (self.use_pallas == "fused_agg"
+                        or outlook_agg_feasible(B, Hs, Ws, self.dim, heads,
+                                                str(jnp.dtype(dt)))):
+                    out = outlook_attention_proj_pallas(
+                        v, a.reshape(B, Hs, Ws, heads * kk),
+                        pw.astype(dt), pb.astype(dt))
+                    return nn.Dropout(self.proj_drop,
+                                      deterministic=deterministic)(out)
             y = outlook_aggregate(v, a, kernel_size=k, stride=s,
                                   use_pallas=False)
-        y = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="proj")(y)
+        y = y.astype(dt) @ pw.astype(dt) + pb.astype(dt)
         y = nn.Dropout(self.proj_drop, deterministic=deterministic)(y)
         return y
 

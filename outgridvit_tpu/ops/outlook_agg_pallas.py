@@ -1,0 +1,522 @@
+"""Fused outlook aggregate + output projection (Pallas TPU, row layout).
+
+The XLA path (`ops/outlook.py::outlook_aggregate_xla`) lowers to 9
+shifted slice-multiply-accumulate fusions — each tap re-reads ``v`` from
+HBM, and the projection dense then reads/writes the aggregate once more;
+the backward is worse (9 dynamic-update-slice accumulations into ``dv``).
+This kernel computes the whole value path of the outlooker —
+``out = aggregate(v, attn) @ Wp + bp`` — in ONE pass per image: ``v`` and
+``attn`` are read once, the aggregate lives only in VMEM, and the
+projection rides the MXU per block. The custom VJP recomputes the
+aggregate (the standard recompute pattern used by the attention kernels)
+and emits ``dv``/``dattn`` in one haloed pass instead of XLA's 9+9
+scatter/reduce fusions.
+
+Layout (the round-2 lesson, same as ``ops/dwconv_bwd_pallas.py``): blocks
+are whole-image ``[H*W, C]`` slices of the ``[B, H*W, C]`` view — channels
+stay on the native LANES, the flattened spatial dim rides the sublanes,
+and a tap shift is a sublane-dim concatenate plus an interior-border iota
+mask. Nothing moves across lanes.
+
+The per-pixel, per-head attention weight is expanded to per-channel form
+on the MXU: ``W_tap = attn2 @ E_t`` where ``E_t[h*9+t', c] = (head(c)==h
+and t'==t)`` — an exact selection matrix built from iota in-kernel (one
+1.0 per column), so the expansion is lane-aligned and bit-exact.
+
+Reference semantics: `src/model/outlook_attention.py:91-124` (the unfold
+aggregation, stride 1) followed by the `proj` linear.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from outgridvit_tpu.ops.dwconv_bwd_pallas import (  # same tap geometry
+    _OFFS,
+    _border_mask,
+    _shift_flat,
+)
+
+
+def _exp_mat(t: int, heads: int, hd: int) -> jnp.ndarray:
+    """[heads*9, C] selection matrix for tap ``t``: one 1.0 per column at
+    row head(c)*9 + t."""
+    h9, C = heads * 9, heads * hd
+    r = jax.lax.broadcasted_iota(jnp.int32, (h9, C), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (h9, C), 1)
+    return ((c // hd) * 9 + t == r).astype(jnp.float32)
+
+
+def _taps(v32, a32, hi, wi, H, W, heads, hd):
+    """Yield (tap weight [S, C] f32, border-masked shifted v [S, C] f32)."""
+    for t, (dy_o, dx_o) in enumerate(_OFFS):
+        wt = jnp.dot(a32, _exp_mat(t, heads, hd),
+                     preferred_element_type=jnp.float32)
+        sv = _shift_flat(v32, dy_o, dx_o, W)
+        m = _border_mask(hi, wi, dy_o, dx_o, H, W)
+        if m is not None:
+            sv = jnp.where(m, sv, 0.0)
+        yield t, dy_o, dx_o, wt, sv
+
+
+def _fwd_kernel(v_ref, a_ref, wp_ref, bp_ref, o_ref, *,
+                H: int, W: int, heads: int, hd: int):
+    v32 = v_ref[0].astype(jnp.float32)   # [S, C]
+    a32 = a_ref[0].astype(jnp.float32)   # [S, heads*9]
+    S = v32.shape[0]
+    pi = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    hi, wi = pi // W, pi % W
+    acc = jnp.zeros_like(v32)
+    for _, _, _, wt, sv in _taps(v32, a32, hi, wi, H, W, heads, hd):
+        acc = acc + sv * wt
+    y = acc.astype(v_ref.dtype)          # the aggregate (module dtype)
+    out = jnp.dot(y, wp_ref[...], preferred_element_type=jnp.float32)
+    o_ref[0] = (out + bp_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _bwd_kernel(v_ref, a_ref, wp_ref, g_ref, dv_ref, da_ref, dwp_ref,
+                dbp_ref, *, H: int, W: int, heads: int, hd: int):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
+
+    v32 = v_ref[0].astype(jnp.float32)
+    a32 = a_ref[0].astype(jnp.float32)
+    g = g_ref[0]                          # [S, C], module dtype
+    g32 = g.astype(jnp.float32)
+    S, C = v32.shape
+    pi = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    hi, wi = pi // W, pi % W
+
+    # recompute the aggregate for the projection grads (recompute-VJP)
+    acc = jnp.zeros_like(v32)
+    for _, _, _, wt, sv in _taps(v32, a32, hi, wi, H, W, heads, hd):
+        acc = acc + sv * wt
+    y = acc.astype(v_ref.dtype)
+    dwp_ref[...] = dwp_ref[...] + jax.lax.dot_general(
+        y, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbp_ref[...] = dbp_ref[...] + jnp.sum(g32, axis=0, keepdims=True)
+
+    # dy wrt the aggregate: g @ Wp^T (contract over output channels)
+    dyag = jax.lax.dot_general(
+        g, wp_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dv = jnp.zeros_like(v32)
+    da = jnp.zeros((S, heads * 9), jnp.float32)
+    for t, dy_o, dx_o, wt, sv in _taps(v32, a32, hi, wi, H, W, heads, hd):
+        # da[s, h*9+t] = sum_{c in head h} sv[s, c] * dyag[s, c]
+        da = da + jnp.dot(sv * dyag, _exp_mat(t, heads, hd).T,
+                          preferred_element_type=jnp.float32)
+        # dv[q] += dyag[q - off] * wt[q - off]  (source-masked at borders)
+        z = _shift_flat(dyag * wt, -dy_o, -dx_o, W)
+        m = _border_mask(hi, wi, -dy_o, -dx_o, H, W)
+        if m is not None:
+            z = jnp.where(m, z, 0.0)
+        dv = dv + z
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    da_ref[0] = da.astype(da_ref.dtype)
+
+
+# ------------------------------------------------- row-chunked variant
+# Whole-image blocks do not fit VMEM at the 64px stage-0 shapes
+# (S=4096); this variant grids over (B, H/bh) row chunks. Each program
+# sees its [bh*W, C] chunk plus two single-row HALO inputs (the last row
+# of the previous chunk / first row of the next, precomputed by strided
+# XLA slices with ZERO rows at the image border — zero halos ARE the
+# aggregate's zero padding, so no extra H-border masks are needed).
+# Backward scatters the halo rows' dv into two small side outputs that
+# XLA adds back (strided, tiny).
+
+
+def _mask_w(x, wi, dx_o, W):
+    if dx_o == -1:
+        return jnp.where(wi != 0, x, 0.0)
+    if dx_o == 1:
+        return jnp.where(wi != W - 1, x, 0.0)
+    return x
+
+
+def _chunk_taps(ext, a32, wi, W, bh, heads, hd):
+    """Yield (t, off, wt [bh*W, C], sv [bh*W, C]) with sv read from the
+    haloed ``ext`` [(bh+2)*W, C] frame; only W-border masks apply."""
+    S = bh * W
+    # corner taps reach one flat element past the ext frame (p=(0,0) with
+    # off=(-1,-1) etc.); pad by one zero element each end — those reads
+    # are W-border-masked anyway
+    extp = jnp.pad(ext, ((1, 1), (0, 0)))
+    for t, (dy_o, dx_o) in enumerate(_OFFS):
+        wt = jnp.dot(a32, _exp_mat(t, heads, hd),
+                     preferred_element_type=jnp.float32)
+        # center rows of the ext frame start at offset W; source pixel
+        # p + off sits at ext row offset W + dy_o*W + dx_o (+1 for extp)
+        base = 1 + W + dy_o * W + dx_o
+        sv = jax.lax.slice(extp, (base, 0), (base + S, extp.shape[1]))
+        sv = _mask_w(sv.astype(jnp.float32), wi, dx_o, W)
+        yield t, dy_o, dx_o, wt, sv
+
+
+def _fwd_chunk_kernel(v_ref, top_ref, bot_ref, a_ref, wp_ref, bp_ref,
+                      o_ref, *, W: int, bh: int, heads: int, hd: int):
+    ext = jnp.concatenate([top_ref[0], v_ref[0], bot_ref[0]], axis=0)
+    a32 = a_ref[0].astype(jnp.float32)
+    S = bh * W
+    wi = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) % W
+    acc = jnp.zeros((S, v_ref.shape[-1]), jnp.float32)
+    for _, _, _, wt, sv in _chunk_taps(ext, a32, wi, W, bh, heads, hd):
+        acc = acc + sv * wt
+    y = acc.astype(v_ref.dtype)
+    out = jnp.dot(y, wp_ref[...], preferred_element_type=jnp.float32)
+    o_ref[0] = (out + bp_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _bwd_chunk_kernel(v_ref, top_ref, bot_ref, a_ref, wp_ref, g_ref,
+                      dv_ref, dtop_ref, dbot_ref, da_ref, dwp_ref, dbp_ref,
+                      *, W: int, bh: int, heads: int, hd: int):
+    b = pl.program_id(0)  # flattened (batch * chunk) grid
+
+    @pl.when(b == 0)
+    def _init():
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
+
+    ext = jnp.concatenate([top_ref[0], v_ref[0], bot_ref[0]], axis=0)
+    a32 = a_ref[0].astype(jnp.float32)
+    g = g_ref[0]
+    g32 = g.astype(jnp.float32)
+    S = bh * W
+    C = v_ref.shape[-1]
+    wi = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) % W
+
+    acc = jnp.zeros((S, C), jnp.float32)
+    for _, _, _, wt, sv in _chunk_taps(ext, a32, wi, W, bh, heads, hd):
+        acc = acc + sv * wt
+    y = acc.astype(v_ref.dtype)
+    dwp_ref[...] = dwp_ref[...] + jax.lax.dot_general(
+        y, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbp_ref[...] = dbp_ref[...] + jnp.sum(g32, axis=0, keepdims=True)
+
+    dyag = jax.lax.dot_general(
+        g, wp_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # one extra flat element each end for the corner taps (W-masked)
+    ne = S + 2 * W + 2
+    dv_ext = jnp.zeros((ne, C), jnp.float32)
+    da = jnp.zeros((S, heads * 9), jnp.float32)
+    for t, dy_o, dx_o, wt, sv in _chunk_taps(ext, a32, wi, W, bh, heads,
+                                             hd):
+        da = da + jnp.dot((sv * dyag).astype(a32.dtype),
+                          _exp_mat(t, heads, hd).T.astype(a32.dtype),
+                          preferred_element_type=jnp.float32)
+        # dv_ext[q] += (dyag*wt)[p] for p = q - off; p indexes the CENTER
+        # rows (padded-ext offset 1+W), so the contribution lands at
+        # offset 1 + W + dy_o*W + dx_o — the same window _chunk_taps
+        # reads from. W-border validity is a property of p's column.
+        z = _mask_w(dyag * wt, wi, dx_o, W)
+        start = 1 + W + dy_o * W + dx_o
+        dv_ext = dv_ext + jnp.pad(z, ((start, ne - S - start), (0, 0)))
+    dv_ref[0] = dv_ext[1 + W:1 + W + S].astype(dv_ref.dtype)
+    dtop_ref[0] = dv_ext[1:1 + W].astype(dtop_ref.dtype)
+    dbot_ref[0] = dv_ext[1 + W + S:1 + 2 * W + S].astype(dbot_ref.dtype)
+    da_ref[0] = da.astype(da_ref.dtype)
+
+
+def _vmem_estimate(S: int, C: int, h9: int, itemsize: int) -> int:
+    """Backward live-set upper bound (the fatter of the two passes):
+    double-buffered io blocks + fp32 accumulators/transients. Lane dims
+    pad to 128 in VMEM."""
+    cp = max(C, 128) if C % 128 else C
+    hp = max(h9, 128) if h9 % 128 else h9
+    io = 2 * itemsize * (2 * S * cp + S * hp + S * cp + S * hp)  # v,a,g,dv,da
+    f32 = 4 * (S * hp + 4 * S * cp + S * hp)  # a32, dyag/acc/dv/tap, da
+    return io + f32
+
+
+def _budget() -> int:
+    import os
+
+    return int(os.environ.get("OUTGRIDVIT_OUTAGG_KIB", 14336)) * 1024
+
+
+def _pick_bh(H: int, W: int, C: int, h9: int, itemsize: int) -> int:
+    """Largest row-chunk height (divisor of H) whose haloed chunk fits
+    the VMEM budget; 0 = whole-image blocks fit (no chunking needed);
+    -1 = infeasible even at bh=1."""
+    budget = _budget()
+    if _vmem_estimate(H * W, C, h9, itemsize) <= budget:
+        return 0
+    for bh in range(H // 2, 0, -1):
+        if H % bh == 0 and _vmem_estimate((bh + 2) * W, C, h9,
+                                          itemsize) <= budget:
+            return bh
+    return -1
+
+
+def outlook_agg_fits(B: int, H: int, W: int, C: int, heads: int,
+                     itemsize: int = 2) -> bool:
+    """Static feasibility: the [H*W, C] blocks (whole-image or row-chunked
+    with halo rows) must fit scoped VMEM (the module dispatch
+    double-checks with a cached compile-probe)."""
+    if C % heads != 0:
+        return False
+    return _pick_bh(H, W, C, heads * 9, itemsize) >= 0
+
+
+@functools.lru_cache(maxsize=None)
+def outlook_agg_feasible(B: int, H: int, W: int, C: int, heads: int,
+                         dtype_str: str = "bfloat16") -> bool:
+    """True iff the kernel pair COMPILES for this exact shape on the
+    current backend (AOT probe, cached in-process and on disk — same
+    scheme as `dwconv_bwd_pallas.dwconv3x3_bwd_feasible`)."""
+    if not outlook_agg_fits(B, H, W, C, heads,
+                            jnp.dtype(dtype_str).itemsize):
+        return False
+    if jax.default_backend() != "tpu":
+        return True
+    from outgridvit_tpu.ops.grid_attention_pallas_t import (
+        _probe_disk_load,
+        _probe_disk_save,
+    )
+
+    key = f"tpu:outagg:{B}:{H}:{W}:{C}:{heads}:{dtype_str}"
+    disk = _probe_disk_load()
+    if key in disk:
+        return bool(disk[key])
+
+    dt = jnp.dtype(dtype_str)
+    sv = jax.ShapeDtypeStruct((B, H, W, C), dt)
+    sa = jax.ShapeDtypeStruct((B, H, W, heads * 9), dt)
+    sw = jax.ShapeDtypeStruct((C, C), dt)
+    sb = jax.ShapeDtypeStruct((C,), dt)
+
+    def loss(v, a, wp, bp):
+        return jnp.sum(
+            outlook_attention_proj_pallas(v, a, wp, bp).astype(jnp.float32))
+
+    try:
+        jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3))).lower(
+            sv, sa, sw, sb).compile()
+        ok = True
+    except Exception:  # noqa: BLE001 — any compile failure = infeasible
+        ok = False
+    _probe_disk_save(key, ok)
+    return ok
+
+
+def _halos(v4, bh):
+    """Top/bottom single-row halos per chunk, [B, nch, W, C]: zero rows at
+    the image border (zero IS the aggregate's padding semantics)."""
+    B, H, W, C = v4.shape
+    nch = H // bh
+    z = jnp.zeros((B, 1, W, C), v4.dtype)
+    top = jnp.concatenate([z, v4[:, bh - 1::bh][:, :nch - 1]], axis=1)
+    bot = jnp.concatenate([v4[:, bh::bh], z], axis=1)
+    return top, bot
+
+
+def _fwd_chunked(v, a, wp, bp, bh):
+    B, H, W, C = v.shape
+    nch = H // bh
+    S = bh * W
+    heads = a.shape[-1] // 9
+    hd = C // heads
+    h9 = heads * 9
+    top, bot = _halos(v, bh)
+    n = B * nch
+    out = pl.pallas_call(
+        functools.partial(_fwd_chunk_kernel, W=W, bh=bh, heads=heads,
+                          hd=hd),
+        out_shape=jax.ShapeDtypeStruct((n, S, C), v.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, S, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, h9), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=n * S * (2 * 9 * C + 2 * C * C),
+            bytes_accessed=n * S * (2 * C + h9) * v.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(v.reshape(n, S, C), top.reshape(n, W, C), bot.reshape(n, W, C),
+      a.reshape(n, S, h9), wp.astype(v.dtype),
+      bp.reshape(1, C).astype(v.dtype))
+    return out.reshape(B, H, W, C)
+
+
+def _bwd_chunked(v, a, wp, g, bh):
+    B, H, W, C = v.shape
+    nch = H // bh
+    S = bh * W
+    heads = a.shape[-1] // 9
+    hd = C // heads
+    h9 = heads * 9
+    top, bot = _halos(v, bh)
+    n = B * nch
+    blk = lambda s: pl.BlockSpec((1,) + s, lambda b: (b, 0, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    dv, dtop, dbot, da, dwp, dbp = pl.pallas_call(
+        functools.partial(_bwd_chunk_kernel, W=W, bh=bh, heads=heads,
+                          hd=hd),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, S, C), v.dtype),
+            jax.ShapeDtypeStruct((n, W, C), jnp.float32),
+            jax.ShapeDtypeStruct((n, W, C), jnp.float32),
+            jax.ShapeDtypeStruct((n, S, h9), a.dtype),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ),
+        grid=(n,),
+        in_specs=[
+            blk((S, C)), blk((W, C)), blk((W, C)), blk((S, h9)),
+            pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            blk((S, C)),
+        ],
+        out_specs=(
+            blk((S, C)), blk((W, C)), blk((W, C)), blk((S, h9)),
+            pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n * S * (6 * 9 * C + 6 * C * C),
+            bytes_accessed=2 * n * S * (2 * C + h9) * v.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(v.reshape(n, S, C), top.reshape(n, W, C), bot.reshape(n, W, C),
+      a.reshape(n, S, h9), wp.astype(v.dtype), g.reshape(n, S, C))
+    # halo-row grads belong to the NEIGHBOR chunks: chunk i's top halo is
+    # global row i*bh - 1 (= chunk i-1's last row), its bottom halo is
+    # row (i+1)*bh (= chunk i+1's first row). Strided adds, tiny arrays.
+    dv5 = dv.reshape(B, nch, bh, W, C)
+    dt5 = dtop.reshape(B, nch, W, C)
+    db5 = dbot.reshape(B, nch, W, C)
+    dv5 = dv5.at[:, :-1, bh - 1].add(dt5[:, 1:].astype(dv5.dtype))
+    dv5 = dv5.at[:, 1:, 0].add(db5[:, :-1].astype(dv5.dtype))
+    return (dv5.reshape(v.shape), da.reshape(a.shape), dwp,
+            dbp.reshape(C))
+
+
+def _fwd_pallas(v, a, wp, bp):
+    B, H, W, C = v.shape
+    S = H * W
+    heads = a.shape[-1] // 9
+    hd = C // heads
+    h9 = heads * 9
+    bh = _pick_bh(H, W, C, h9, v.dtype.itemsize)
+    if bh < 0:
+        raise ValueError(f"fused outlook kernel infeasible for {v.shape}")
+    if bh > 0:
+        return _fwd_chunked(v, a, wp, bp, bh)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, H=H, W=W, heads=heads, hd=hd),
+        out_shape=jax.ShapeDtypeStruct((B, S, C), v.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, h9), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=B * S * (2 * 9 * C + 2 * C * C),
+            bytes_accessed=B * S * (2 * C + h9) * v.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(v.reshape(B, S, C), a.reshape(B, S, h9), wp.astype(v.dtype),
+      bp.reshape(1, C).astype(v.dtype))
+    return out.reshape(B, H, W, C)
+
+
+def _bwd_pallas(v, a, wp, g):
+    B, H, W, C = v.shape
+    S = H * W
+    heads = a.shape[-1] // 9
+    hd = C // heads
+    h9 = heads * 9
+    bh = _pick_bh(H, W, C, h9, v.dtype.itemsize)
+    if bh < 0:
+        raise ValueError(f"fused outlook kernel infeasible for {v.shape}")
+    if bh > 0:
+        return _bwd_chunked(v, a, wp, g, bh)
+    dv, da, dwp, dbp = pl.pallas_call(
+        functools.partial(_bwd_kernel, H=H, W=W, heads=heads, hd=hd),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, C), v.dtype),
+            jax.ShapeDtypeStruct((B, S, h9), a.dtype),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, h9), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, S, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, h9), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=B * S * (6 * 9 * C + 6 * C * C),
+            bytes_accessed=2 * B * S * (2 * C + h9) * v.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(v.reshape(B, S, C), a.reshape(B, S, h9), wp.astype(v.dtype),
+      g.reshape(B, S, C))
+    return (dv.reshape(v.shape), da.reshape(a.shape), dwp,
+            dbp.reshape(C))
+
+
+@jax.custom_vjp
+def outlook_attention_proj_pallas(v, a, wp, bp):
+    """``aggregate(v, attn) @ wp + bp`` in one fused pass.
+
+    v: [B, H, W, C] values; a: [B, H, W, heads*9] post-softmax tap
+    weights (head-major: index h*9 + t, taps row-major — unfold order);
+    wp: [C, C]; bp: [C]. Stride-1, K=3 only. Returns [B, H, W, C].
+    """
+    return _fwd_pallas(v, a, wp, bp)
+
+
+def _fwd_vjp(v, a, wp, bp):
+    return _fwd_pallas(v, a, wp, bp), (v, a, wp)
+
+
+def _bwd_vjp(res, g):
+    v, a, wp = res
+    dv, da, dwp, dbp = _bwd_pallas(v, a, wp, g)
+    return dv, da, dwp.astype(wp.dtype), dbp.astype(wp.dtype)
+
+
+outlook_attention_proj_pallas.defvjp(_fwd_vjp, _bwd_vjp)
