@@ -127,3 +127,32 @@ def test_lane_batched_mhsa_multitile(monkeypatch):
                                atol=3e-5, rtol=3e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_probe_cache_roundtrip_and_dispatch_verdicts(monkeypatch, tmp_path):
+    """The compile-probe's disk cache must round-trip, and a cached verdict
+    must decide `attn_kernel_feasible` without invoking the compiler —
+    pinning the dispatch boundary class that OOM'd in round 2 (a336fd5)."""
+    import jax
+
+    import outgridvit_tpu.ops.grid_attention_pallas_t as gat
+
+    monkeypatch.setenv("OUTGRIDVIT_PROBE_CACHE", str(tmp_path / "probe.json"))
+    monkeypatch.setattr(gat, "_PROBE_DISK", None)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    gat.attn_kernel_feasible.cache_clear()
+
+    # poison the cache: "t" infeasible, "th" feasible for a fake shape
+    gat._probe_disk_save("tpu:t:4096:16:256:8:bfloat16", False)
+    gat._probe_disk_save("tpu:th:4096:16:256:8:bfloat16", True)
+
+    # a fresh process would re-read from disk
+    monkeypatch.setattr(gat, "_PROBE_DISK", None)
+
+    def boom(*a, **k):  # the probe must NOT compile on a disk hit
+        raise AssertionError("compiled despite cached verdict")
+
+    monkeypatch.setattr(jax, "jit", boom)
+    assert gat.attn_kernel_feasible("t", 4096, 16, 256, 8) is False
+    assert gat.attn_kernel_feasible("th", 4096, 16, 256, 8) is True
+    gat.attn_kernel_feasible.cache_clear()
