@@ -147,3 +147,34 @@ def test_module_dispatch_matches_default_path():
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(got_dx), np.asarray(want_dx),
                                atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.slow
+def test_env_toggle_dispatches_fused_path(monkeypatch):
+    """OUTGRIDVIT_OUTAGG=1 + tpu backend routes OutlookAttention2d through
+    the fused kernel (the trace-time toggle scripts/ab_env.py flips);
+    interpret mode, output must match the default path."""
+    import jax
+
+    from outgridvit_tpu.models.blocks import OutlookAttention2d
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32), jnp.float32)
+    m = OutlookAttention2d(dim=48, num_heads=2, dtype=jnp.float32)
+    variables = m.init(jax.random.PRNGKey(1), x)
+    monkeypatch.delenv("OUTGRIDVIT_OUTAGG", raising=False)
+    want = m.apply(variables, x)
+
+    calls = []
+    import outgridvit_tpu.ops.outlook_agg_pallas as oap
+
+    real = oap.outlook_attention_proj_pallas
+    monkeypatch.setattr(
+        oap, "outlook_attention_proj_pallas",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("OUTGRIDVIT_OUTAGG", "1")
+    with pltpu.force_tpu_interpret_mode():
+        got = m.apply(variables, x)
+    assert calls, "fused kernel was not dispatched under OUTGRIDVIT_OUTAGG=1"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)

@@ -189,6 +189,7 @@ def test_eval_superstep_matches_sequential_and_epoch_metrics():
         np.testing.assert_allclose(m2[key], m1[key], rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # ~30s on the 1-vCPU box; scan equivalence stays fast
 def test_grouped_batches_superdispatch_epoch(tmp_path):
     """train_model with steps_per_dispatch>1: full groups scan, the ragged
     tail and <K remainder run as singles; history means unchanged."""
