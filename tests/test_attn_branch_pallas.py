@@ -65,6 +65,7 @@ def test_attn_branch_forward_matches_ref(B, N, C, heads, apply_ln):
                                atol=3e-5, rtol=3e-5)
 
 
+@pytest.mark.slow  # opt-in kernel; fwd equivalence stays fast
 def test_attn_branch_grads_match_ref():
     B, N, C, heads, eps = 32, 16, 48, 2, 1e-5
     args = _make_args(jax.random.PRNGKey(1), B, N, C, jnp.float32)

@@ -37,8 +37,8 @@ def _rand(B, H, W, C, heads, seed=0):
 # the shipped outlooker shape families (batch shrunk): hd in {24, 32, 64},
 # H == W in {4..16}, plus one non-square
 @pytest.mark.parametrize("B,H,W,C,heads", [
-    (2, 8, 8, 48, 2),    # 32px stage-0 family (hd=24)
-    (1, 8, 16, 64, 2),   # H != W
+    (2, 4, 8, 48, 2),    # 32px stage-0 family (hd=24), H != W
+    (1, 8, 4, 64, 2),    # hd=32, W < H
     pytest.param(1, 16, 16, 64, 2, marks=pytest.mark.slow),  # 64px stage-0
     pytest.param(2, 4, 4, 192, 6, marks=pytest.mark.slow),   # deep stage
 ])

@@ -32,6 +32,7 @@ def test_outlook_pallas_matches_xla(B, H, W, C, heads, k):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow  # opt-in kernel; fwd equivalence stays fast
 def test_outlook_pallas_grad_matches_xla():
     B, H, W, C, heads, k = 2, 8, 8, 8, 2, 3
     v = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C), jnp.float32)
