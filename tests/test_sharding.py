@@ -172,3 +172,21 @@ def test_tp_matches_dp_numerically():
                             jax.device_put(y, bshard)), jax.random.PRNGKey(2))
         losses.append(float(m["loss"]))
     assert losses[0] == pytest.approx(losses[1], rel=1e-5)
+
+
+@pytest.mark.slow  # fresh (4,2) compile ~17s on the 1-vCPU box
+def test_tp_step_lowers_to_collectives():
+    """The (4,2) DP x TP step must lower to real XLA collectives —
+    all-reduces for the data-axis gradient sync and the TP partial sums —
+    not silent replication (the sharding annotations actually bind)."""
+    mesh = make_mesh((4, 2))
+    model, state = _make_state(mesh)
+    step = make_train_step(StepConfig(num_classes=10), jit=False)
+    bshard = batch_sharding(mesh)
+    x = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8, 3)), bshard)
+    y = jax.device_put((jnp.arange(8) % 10).astype(jnp.int32), bshard)
+    txt = (jax.jit(step)
+           .lower(state, (x, y), jax.random.PRNGKey(2))
+           .compile().as_text())
+    assert "all-reduce" in txt, "no collectives: shardings did not bind"
