@@ -141,7 +141,7 @@ def dwconv3x3_bwd_feasible(B: int, H: int, W: int, C: int,
         return False
     if jax.default_backend() != "tpu":
         return True
-    from outgridvit_tpu.ops.grid_attention_pallas_t import (
+    from outgridvit_tpu.ops.probe_cache import (
         _probe_disk_load,
         _probe_disk_save,
     )

@@ -218,47 +218,12 @@ def _pick_lanes(G: int, rows: int, f32_rows: int, itemsize: int,
     return gt
 
 
-_PROBE_DISK: dict | None = None
-
-
-def _probe_cache_path():
-    import os
-
-    return os.environ.get(
-        "OUTGRIDVIT_PROBE_CACHE",
-        os.path.expanduser("~/.cache/outgridvit/attn_probe.json"))
-
-
-def _probe_disk_load() -> dict:
-    global _PROBE_DISK
-    if _PROBE_DISK is None:
-        import json
-        import os
-
-        try:
-            with open(_probe_cache_path()) as f:
-                _PROBE_DISK = dict(json.load(f))
-        except (OSError, ValueError):
-            _PROBE_DISK = {}
-        del os
-    return _PROBE_DISK
-
-
-def _probe_disk_save(key: str, ok: bool) -> None:
-    import json
-    import os
-
-    cache = _probe_disk_load()
-    cache[key] = bool(ok)
-    path = _probe_cache_path()
-    try:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.{os.getpid()}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(cache, f)
-        os.replace(tmp, path)
-    except OSError:
-        pass  # read-only FS etc.: in-process cache still holds the verdict
+# Compile-probe verdict cache — shared across all kernel families
+# (ops/probe_cache.py); re-exported here for the existing import sites.
+from outgridvit_tpu.ops.probe_cache import (  # noqa: F401,E402
+    _probe_disk_load,
+    _probe_disk_save,
+)
 
 
 @functools.lru_cache(maxsize=None)

@@ -1,0 +1,60 @@
+"""Shared disk cache for kernel compile-probe verdicts.
+
+Dispatch for every Pallas kernel family (lane-batched attention, fused
+dw-conv backward, fused outlook aggregate) asks the COMPILER whether the
+exact shape is feasible — an AOT ``jit(grad(...)).lower().compile()`` —
+instead of extrapolating VMEM use from a heuristic (the class of bug
+fixed in commit a336fd5). A probe costs seconds, so verdicts are cached
+in-process and on disk, keyed ``<backend>:<kind>:<shape...>:<dtype>``.
+
+Writes merge with the on-disk state first (two concurrent processes
+probing different shapes both keep their entries) and replace the file
+atomically; a read-only filesystem degrades to the in-process cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+_PROBE_DISK: dict | None = None
+
+
+def _probe_cache_path() -> str:
+    return os.environ.get(
+        "OUTGRIDVIT_PROBE_CACHE",
+        os.path.expanduser("~/.cache/outgridvit/attn_probe.json"))
+
+
+def _read_disk() -> dict:
+    try:
+        with open(_probe_cache_path()) as f:
+            return dict(json.load(f))
+    except (OSError, ValueError):
+        return {}
+
+
+def _probe_disk_load() -> dict:
+    global _PROBE_DISK
+    if _PROBE_DISK is None:
+        _PROBE_DISK = _read_disk()
+    return _PROBE_DISK
+
+
+def _probe_disk_save(key: str, ok: bool) -> None:
+    cache = _probe_disk_load()
+    cache[key] = bool(ok)
+    path = _probe_cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # merge with concurrent writers before replacing (last-writer-wins
+        # per KEY, not per file)
+        merged = _read_disk()
+        merged.update(cache)
+        cache.update(merged)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # read-only FS etc.: in-process cache still holds the verdict

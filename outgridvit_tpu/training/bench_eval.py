@@ -103,6 +103,17 @@ def evaluate_one_epoch_logs(
         else:
             host_iter = _group_batches(
                 itertools.chain([first], host_iter), k, first[1].shape[0])
+        if data_shard is not None and not callable(data_shard):
+            # [K, B, ...] superbatches must shard the BATCH axis, not the
+            # scan axis (same ndim-keyed rule as loop.py's train dispatch)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batch_shard = data_shard
+            super_shard = NamedSharding(
+                batch_shard.mesh, PartitionSpec(None, *batch_shard.spec))
+
+            def data_shard(a):  # noqa: F811 — labels [K,B] / imgs [K,B,...]
+                return super_shard if a.ndim in (2, 5) else batch_shard
 
     def _last_loss(m):
         return float(np.asarray(jax.device_get(m["loss"])).ravel()[-1])

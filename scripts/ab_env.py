@@ -11,6 +11,10 @@ traced with the env var unset, one with it set (kernel dispatch in
 timed legs A,B,A,B,... on the same device-resident data and reports
 per-leg rates plus medians.
 
+The benchmarked configuration (model, optimizer, augment recipe,
+synthetic batches) comes from bench_config.BenchContext — one code path
+shared with `bench_config.py`, so the two scripts cannot drift.
+
 Usage:
   python scripts/ab_env.py --config configs/tinyimagenet200_model_a.yaml \
       --env OUTGRIDVIT_DW_BWD=1 --batch 128 --k 8 --legs 6 --steps 48
@@ -30,7 +34,7 @@ ROOT = Path(__file__).resolve().parents[1]
 if str(ROOT) not in sys.path:
     sys.path.insert(0, str(ROOT))
 
-from scripts.bench_config import STATS  # noqa: E402
+from scripts.bench_config import BenchContext, hard_sync  # noqa: E402
 
 
 def main() -> int:
@@ -50,109 +54,34 @@ def main() -> int:
     if not val:
         ap.error("--env must be KEY=VAL")
 
-    import yaml
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("OUTGRIDVIT_JAX_CACHE", "/tmp/outgridvit_jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-    from outgridvit_tpu.models import build_model
-    from outgridvit_tpu.ops.augment import AugmentConfig
-    from outgridvit_tpu.parallel import (
-        make_mesh,
-        shard_train_state,
-        superbatch_sharding,
-        batch_sharding,
-    )
-    from outgridvit_tpu.training.optim import make_optimizer, warmup_cosine_lr
+    from outgridvit_tpu.parallel import batch_sharding, superbatch_sharding
     from outgridvit_tpu.training.steps import (
-        StepConfig,
         make_train_step,
         make_train_superstep,
     )
-    from outgridvit_tpu.training.train_state import TrainState
 
-    cfg = yaml.safe_load((ROOT / args.config).read_text()
-                         if not os.path.isabs(args.config)
-                         else Path(args.config).read_text())
-    data_cfg = cfg.get("data", {})
-    tcfg = cfg["training"]
-    img = args.img_size or int(data_cfg.get("img_size", 32))
-    dataset = data_cfg.get("dataset", "cifar100")
-    mean, std = STATS.get(dataset, STATS["cifar100"])
-    crop_pad = max(8, img // 8) if dataset.startswith("tiny") else max(
-        4, img // 8)
-    num_classes = int(cfg["model"]["num_classes"])
-
-    model = build_model(cfg["model"], dtype=jnp.bfloat16)
-    mesh = make_mesh()
-    schedule = warmup_cosine_lr(float(tcfg["lr"]), 10_000, 500,
-                                float(tcfg["min_lr"]))
-    tx = make_optimizer(schedule, float(tcfg["weight_decay"]),
-                        tcfg.get("grad_clip_norm", 1.0))
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(1), jnp.zeros((2, img, img, 3), jnp.float32))
-
-    aug = AugmentConfig(
-        mean=mean, std=std, crop_pad=crop_pad,
-        ra_num_ops=int(data_cfg.get("ra_num_ops", 2)),
-        ra_magnitude=int(data_cfg.get("ra_magnitude", 7)),
-        random_erasing_p=float(data_cfg.get("random_erasing_p", 0.25)))
-    step_cfg = StepConfig(
-        num_classes=num_classes,
-        label_smoothing=float(tcfg.get("label_smoothing", 0.1)),
-        mixup_alpha=float(tcfg.get("mixup_alpha", 0.8)),
-        cutmix_alpha=float(tcfg.get("cutmix_alpha", 1.0)),
-        mix_prob=float(tcfg.get("mix_prob", 0.5)),
-        grad_clip_norm=tcfg.get("grad_clip_norm", 1.0),
-        augment=aug,
-    )
+    ctx = BenchContext(args.config, args.img_size)
     k = max(1, args.k)
     bs = args.batch
-    bshard = superbatch_sharding(mesh) if k > 1 else batch_sharding(mesh)
+    bshard = (superbatch_sharding(ctx.mesh) if k > 1
+              else batch_sharding(ctx.mesh))
     bshape = (k, bs) if k > 1 else (bs,)
-
-    rng = jax.random.PRNGKey(0)
-    batches = []
-    for i in range(4):
-        kx = jax.random.fold_in(rng, i)
-        xb = jax.random.randint(kx, bshape + (img, img, 3), 0, 255,
-                                dtype=jnp.int32).astype(jnp.uint8)
-        yb = jax.random.randint(jax.random.fold_in(rng, 100 + i), bshape,
-                                0, num_classes)
-        batches.append((jax.device_put(xb, bshard),
-                        jax.device_put(yb, bshard)))
+    batches = ctx.make_batches(bshape, bshard)
 
     # Two independently-jitted step functions; kernel dispatch reads the
     # env var at TRACE time, i.e. during each side's first (warmup) call —
     # the env is toggled around that call below, after which each side's
     # compiled program is fixed for the timed legs.
     def make():
-        return (make_train_superstep(step_cfg, lr_schedule=schedule)
+        return (make_train_superstep(ctx.step_cfg, lr_schedule=ctx.schedule)
                 if k > 1 else
-                make_train_step(step_cfg, lr_schedule=schedule))
+                make_train_step(ctx.step_cfg, lr_schedule=ctx.schedule))
 
     sides = {"A": make(), "B": make()}
     side_env = {"A": None, "B": val}
-
-    def fresh_state():
-        f = jax.tree_util.tree_map(jnp.array, variables)
-        st = TrainState.create(apply_fn=model.apply, params=f["params"],
-                               batch_stats=f.get("batch_stats", {}), tx=tx)
-        return shard_train_state(st, mesh)
-
-    states = {name: fresh_state() for name in sides}
-
-    def hard_sync(state, m):
-        jax.device_get(m["loss"])
-        np.asarray(jax.tree_util.tree_leaves(state.params)[0]).ravel()[0]
+    states = {name: ctx.fresh_state() for name in sides}
 
     base = jax.random.PRNGKey(2)
     n_disp = max(1, args.steps // k)

@@ -33,6 +33,123 @@ STATS = {
 }
 
 
+class BenchContext:
+    """Everything the full-train-step benches share (bench_config and the
+    A/B harnesses build the SAME configuration from one code path, so the
+    benchmarked recipe cannot drift between scripts)."""
+
+    def __init__(self, config_path: str, img_size=None, augment=True):
+        import yaml
+        import jax
+        import jax.numpy as jnp
+
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("OUTGRIDVIT_JAX_CACHE",
+                               "/tmp/outgridvit_jax_cache"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
+        from outgridvit_tpu.models import build_model
+        from outgridvit_tpu.ops.augment import AugmentConfig
+        from outgridvit_tpu.parallel import make_mesh
+        from outgridvit_tpu.training.optim import (
+            make_optimizer,
+            warmup_cosine_lr,
+        )
+        from outgridvit_tpu.training.steps import StepConfig
+
+        cfg = yaml.safe_load((ROOT / config_path).read_text()
+                             if not os.path.isabs(config_path)
+                             else Path(config_path).read_text())
+        data_cfg = cfg.get("data", {})
+        tcfg = cfg["training"]
+        self.cfg = cfg
+        self.img = img_size or int(data_cfg.get("img_size", 32))
+        dataset = data_cfg.get("dataset", "cifar100")
+        mean, std = STATS.get(dataset, STATS["cifar100"])
+        # reference crop-pad rule (`load_cifrar100.py:39-44` et al.)
+        crop_pad = (max(8, self.img // 8) if dataset.startswith("tiny")
+                    else max(4, self.img // 8))
+        self.num_classes = int(cfg["model"]["num_classes"])
+
+        self.model = build_model(cfg["model"], dtype=jnp.bfloat16)
+        self.mesh = make_mesh()
+        self.schedule = warmup_cosine_lr(float(tcfg["lr"]), 10_000, 500,
+                                         float(tcfg["min_lr"]))
+        self.tx = make_optimizer(self.schedule, float(tcfg["weight_decay"]),
+                                 tcfg.get("grad_clip_norm", 1.0))
+        self.variables = jax.jit(self.model.init)(
+            jax.random.PRNGKey(1),
+            jnp.zeros((2, self.img, self.img, 3), jnp.float32))
+
+        self.aug = None if not augment else AugmentConfig(
+            mean=mean, std=std, crop_pad=crop_pad,
+            ra_num_ops=int(data_cfg.get("ra_num_ops", 2)),
+            ra_magnitude=int(data_cfg.get("ra_magnitude", 7)),
+            random_erasing_p=float(data_cfg.get("random_erasing_p", 0.25)))
+        self.step_cfg = StepConfig(
+            num_classes=self.num_classes,
+            label_smoothing=float(tcfg.get("label_smoothing", 0.1)),
+            mixup_alpha=float(tcfg.get("mixup_alpha", 0.8)),
+            cutmix_alpha=float(tcfg.get("cutmix_alpha", 1.0)),
+            mix_prob=float(tcfg.get("mix_prob", 0.5)),
+            grad_clip_norm=tcfg.get("grad_clip_norm", 1.0),
+            augment=self.aug,
+        )
+
+    def fresh_state(self):
+        """New donated-safe TrainState, sharded on the mesh."""
+        import jax
+        import jax.numpy as jnp
+
+        from outgridvit_tpu.parallel import shard_train_state
+        from outgridvit_tpu.training.train_state import TrainState
+
+        fresh = jax.tree_util.tree_map(jnp.array, self.variables)
+        state = TrainState.create(
+            apply_fn=self.model.apply, params=fresh["params"],
+            batch_stats=fresh.get("batch_stats", {}), tx=self.tx)
+        return shard_train_state(state, self.mesh)
+
+    def make_batches(self, bshape, bshard, n=4):
+        """n device-resident synthetic batches: raw uint8 when the in-jit
+        augment recipe runs, pre-normalized float32 otherwise."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = jax.random.PRNGKey(0)
+        batches = []
+        for i in range(n):
+            kx = jax.random.fold_in(rng, i)
+            if self.aug is not None:
+                xb = jax.random.randint(
+                    kx, bshape + (self.img, self.img, 3), 0, 255,
+                    dtype=jnp.int32).astype(jnp.uint8)
+            else:
+                xb = jax.random.normal(kx, bshape + (self.img, self.img, 3),
+                                       jnp.float32)
+            yb = jax.random.randint(jax.random.fold_in(rng, 100 + i),
+                                    bshape, 0, self.num_classes)
+            batches.append((jax.device_put(xb, bshard),
+                            jax.device_put(yb, bshard)))
+        return batches
+
+
+def hard_sync(state, m):
+    """Real device->host fetch: `jax.block_until_ready` is unreliable for
+    chained donated-state dispatch over the tunneled dev link
+    (docs/PERFORMANCE.md measurement methodology)."""
+    import jax
+    import numpy as np
+
+    jax.device_get(m["loss"])
+    np.asarray(jax.tree_util.tree_leaves(state.params)[0]).ravel()[0]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
@@ -44,108 +161,30 @@ def main() -> int:
     ap.add_argument("--no-augment", action="store_true")
     args = ap.parse_args()
 
-    import yaml
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("OUTGRIDVIT_JAX_CACHE", "/tmp/outgridvit_jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-    from outgridvit_tpu.models import build_model
-    from outgridvit_tpu.ops.augment import AugmentConfig
-    from outgridvit_tpu.parallel import (
-        make_mesh,
-        shard_train_state,
-        superbatch_sharding,
-        batch_sharding,
-    )
-    from outgridvit_tpu.training.optim import make_optimizer, warmup_cosine_lr
+    from outgridvit_tpu.parallel import batch_sharding, superbatch_sharding
     from outgridvit_tpu.training.steps import (
-        StepConfig,
         make_train_step,
         make_train_superstep,
     )
-    from outgridvit_tpu.training.train_state import TrainState
 
-    cfg = yaml.safe_load((ROOT / args.config).read_text()
-                         if not os.path.isabs(args.config)
-                         else Path(args.config).read_text())
-    data_cfg = cfg.get("data", {})
-    tcfg = cfg["training"]
-    img = args.img_size or int(data_cfg.get("img_size", 32))
-    dataset = data_cfg.get("dataset", "cifar100")
-    mean, std = STATS.get(dataset, STATS["cifar100"])
-    crop_pad = max(8, img // 8) if dataset.startswith("tiny") else max(
-        4, img // 8)
-    num_classes = int(cfg["model"]["num_classes"])
-
-    model = build_model(cfg["model"], dtype=jnp.bfloat16)
-    mesh = make_mesh()
-
-    schedule = warmup_cosine_lr(float(tcfg["lr"]), 10_000, 500,
-                                float(tcfg["min_lr"]))
-    tx = make_optimizer(schedule, float(tcfg["weight_decay"]),
-                        tcfg.get("grad_clip_norm", 1.0))
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(1), jnp.zeros((2, img, img, 3), jnp.float32))
-
-    aug = None if args.no_augment else AugmentConfig(
-        mean=mean, std=std, crop_pad=crop_pad,
-        ra_num_ops=int(data_cfg.get("ra_num_ops", 2)),
-        ra_magnitude=int(data_cfg.get("ra_magnitude", 7)),
-        random_erasing_p=float(data_cfg.get("random_erasing_p", 0.25)))
-    step_cfg = StepConfig(
-        num_classes=num_classes,
-        label_smoothing=float(tcfg.get("label_smoothing", 0.1)),
-        mixup_alpha=float(tcfg.get("mixup_alpha", 0.8)),
-        cutmix_alpha=float(tcfg.get("cutmix_alpha", 1.0)),
-        mix_prob=float(tcfg.get("mix_prob", 0.5)),
-        grad_clip_norm=tcfg.get("grad_clip_norm", 1.0),
-        augment=aug,
-    )
+    ctx = BenchContext(args.config, args.img_size,
+                       augment=not args.no_augment)
+    img = ctx.img
     k = max(1, args.k)
     if k > 1:
-        step_fn = make_train_superstep(step_cfg, lr_schedule=schedule)
-        bshard = superbatch_sharding(mesh)
+        step_fn = make_train_superstep(ctx.step_cfg, lr_schedule=ctx.schedule)
+        bshard = superbatch_sharding(ctx.mesh)
     else:
-        step_fn = make_train_step(step_cfg, lr_schedule=schedule)
-        bshard = batch_sharding(mesh)
+        step_fn = make_train_step(ctx.step_cfg, lr_schedule=ctx.schedule)
+        bshard = batch_sharding(ctx.mesh)
 
-    rng = jax.random.PRNGKey(0)
     results = {}
     for bs in args.batch:
-        # fresh buffers each size: the step donates the state, deleting the
-        # previous iteration's param arrays (shared with `variables`)
-        fresh = jax.tree_util.tree_map(jnp.array, variables)
-        state = TrainState.create(
-            apply_fn=model.apply, params=fresh["params"],
-            batch_stats=fresh.get("batch_stats", {}), tx=tx)
-        state = shard_train_state(state, mesh)
+        state = ctx.fresh_state()
         bshape = (k, bs) if k > 1 else (bs,)
-        batches = []
-        for i in range(4):
-            kx = jax.random.fold_in(rng, i)
-            if aug is not None:
-                xb = jax.random.randint(kx, bshape + (img, img, 3), 0, 255,
-                                        dtype=jnp.int32).astype(jnp.uint8)
-            else:
-                xb = jax.random.normal(kx, bshape + (img, img, 3),
-                                       jnp.float32)
-            yb = jax.random.randint(jax.random.fold_in(rng, 100 + i), bshape,
-                                    0, num_classes)
-            batches.append((jax.device_put(xb, bshard),
-                            jax.device_put(yb, bshard)))
-
-        def hard_sync(state, m):
-            jax.device_get(m["loss"])
-            np.asarray(jax.tree_util.tree_leaves(state.params)[0]).ravel()[0]
-
+        batches = ctx.make_batches(bshape, bshard)
         base = jax.random.PRNGKey(2)
         n_disp = max(1, args.steps // k)
         t0 = time.perf_counter()

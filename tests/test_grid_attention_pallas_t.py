@@ -136,9 +136,10 @@ def test_probe_cache_roundtrip_and_dispatch_verdicts(monkeypatch, tmp_path):
     import jax
 
     import outgridvit_tpu.ops.grid_attention_pallas_t as gat
+    import outgridvit_tpu.ops.probe_cache as pc
 
     monkeypatch.setenv("OUTGRIDVIT_PROBE_CACHE", str(tmp_path / "probe.json"))
-    monkeypatch.setattr(gat, "_PROBE_DISK", None)
+    monkeypatch.setattr(pc, "_PROBE_DISK", None)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     gat.attn_kernel_feasible.cache_clear()
 
@@ -147,7 +148,7 @@ def test_probe_cache_roundtrip_and_dispatch_verdicts(monkeypatch, tmp_path):
     gat._probe_disk_save("tpu:th:4096:16:256:8:bfloat16", True)
 
     # a fresh process would re-read from disk
-    monkeypatch.setattr(gat, "_PROBE_DISK", None)
+    monkeypatch.setattr(pc, "_PROBE_DISK", None)
 
     def boom(*a, **k):  # the probe must NOT compile on a disk hit
         raise AssertionError("compiled despite cached verdict")

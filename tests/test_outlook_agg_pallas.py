@@ -150,7 +150,7 @@ def test_module_dispatch_matches_default_path():
 
 
 @pytest.mark.slow
-def test_env_toggle_dispatches_fused_path(monkeypatch):
+def test_env_toggle_dispatches_fused_path(monkeypatch, tmp_path):
     """OUTGRIDVIT_OUTAGG=1 + tpu backend routes OutlookAttention2d through
     the fused kernel (the trace-time toggle scripts/ab_env.py flips);
     interpret mode, output must match the default path."""
@@ -162,6 +162,13 @@ def test_env_toggle_dispatches_fused_path(monkeypatch):
     m = OutlookAttention2d(dim=48, num_heads=2, dtype=jnp.float32)
     variables = m.init(jax.random.PRNGKey(1), x)
     monkeypatch.delenv("OUTGRIDVIT_OUTAGG", raising=False)
+    # the faked-tpu compile probe must not write an interpret-mode verdict
+    # into the user's real probe cache
+    import outgridvit_tpu.ops.probe_cache as pc
+
+    monkeypatch.setenv("OUTGRIDVIT_PROBE_CACHE",
+                       str(tmp_path / "probe.json"))
+    monkeypatch.setattr(pc, "_PROBE_DISK", None)
     want = m.apply(variables, x)
 
     calls = []

@@ -190,3 +190,31 @@ def test_tp_step_lowers_to_collectives():
            .lower(state, (x, y), jax.random.PRNGKey(2))
            .compile().as_text())
     assert "all-reduce" in txt, "no collectives: shardings did not bind"
+
+
+def test_eval_superstep_epoch_on_mesh():
+    """evaluate_one_epoch_logs with k>1 on a data mesh: the [K, B, ...]
+    superbatches must shard the BATCH axis (K=2 is not divisible by 8
+    devices, so scan-axis sharding would fail outright), and metrics must
+    match the per-batch path."""
+    from outgridvit_tpu.training.bench_eval import evaluate_one_epoch_logs
+    from outgridvit_tpu.training.steps import (
+        make_eval_step, make_eval_superstep)
+
+    mesh = make_mesh((8, 1))
+    model, state = _make_state(mesh)
+    bs = 16
+    batches = [(np.asarray(jax.random.normal(jax.random.PRNGKey(10 + i),
+                                             (bs, 8, 8, 3))),
+                np.asarray((jnp.arange(bs) + i) % 10, dtype=np.int32))
+               for i in range(5)]
+    shard = batch_sharding(mesh)
+    estep = make_eval_step(model.apply)
+    m1 = evaluate_one_epoch_logs(estep, state, batches, data_shard=shard,
+                                 warmup_batches=0, verbose=False)
+    m2 = evaluate_one_epoch_logs(
+        estep, state, batches, data_shard=shard, warmup_batches=0,
+        verbose=False, eval_superstep=make_eval_superstep(model.apply), k=2)
+    assert m2["num_images"] == m1["num_images"] == 5 * bs
+    for key in ("loss", "top1", "top3", "top5"):
+        np.testing.assert_allclose(m2[key], m1[key], rtol=1e-5, atol=1e-5)
