@@ -48,4 +48,17 @@ run ab_eval_k_flagship 2400 python scripts/ab_eval_k.py \
   --config configs/cifar100_model_a_7m.yaml --ks 1 8 --reps 3 \
   --batch-size 256 --num-samples 20480
 
+# per-component profiles at both image sizes with the round-3 winners OFF
+# (the baseline attribution the next attack starts from) and, for TIN-64,
+# with the two candidate kernels ON
+run profile_tin64 2400 python scripts/profile_step.py \
+  --config configs/tinyimagenet200_model_a.yaml --batch 128 --top 30
+
+run profile_tin64_kernels 2400 env OUTGRIDVIT_DW_BWD=1 OUTGRIDVIT_OUTAGG=1 \
+  python scripts/profile_step.py \
+  --config configs/tinyimagenet200_model_a.yaml --batch 128 --top 30
+
+run profile_flagship 2400 python scripts/profile_step.py \
+  --batch 128 --top 30
+
 echo "campaign done; results in outputs/campaign/" >&2
