@@ -107,22 +107,44 @@ class OutlookAttention2d(nn.Module):
             # it for tests.
             import os
 
-            fuse = (self.use_pallas == "fused_agg"
-                    or (s == 1 and k == 3
-                        and os.environ.get("OUTGRIDVIT_OUTAGG", "0") == "1"
-                        and jax.default_backend() == "tpu"))
-            if fuse and s == 1 and k == 3:
+            mode = os.environ.get("OUTGRIDVIT_OUTAGG", "0")
+            if self.use_pallas == "fused_agg":
+                mode = "1"
+            elif self.use_pallas == "fused_agg_v":
+                mode = "2"
+            elif jax.default_backend() != "tpu":
+                mode = "0"
+            forced = self.use_pallas in ("fused_agg", "fused_agg_v")
+            if mode in ("1", "2") and s == 1 and k == 3:
+                a2 = a.reshape(B, Hs, Ws, heads * kk)
+                if mode == "2":
+                    # v-fold: x -> v-proj -> aggregate -> out-proj in ONE
+                    # kernel; the value tensor never touches HBM
+                    from outgridvit_tpu.ops.outlook_agg_pallas import (
+                        outlook_branch_feasible,
+                        outlook_branch_pallas,
+                    )
+
+                    if forced or outlook_branch_feasible(
+                            B, Hs, Ws, C, self.dim, heads,
+                            str(jnp.dtype(dt))):
+                        bv = (vb if vb is not None
+                              else jnp.zeros((self.dim,), jnp.float32))
+                        out = outlook_branch_pallas(
+                            x.astype(dt), a2, vw.astype(dt), bv.astype(dt),
+                            pw.astype(dt), pb.astype(dt))
+                        return nn.Dropout(
+                            self.proj_drop,
+                            deterministic=deterministic)(out)
                 from outgridvit_tpu.ops.outlook_agg_pallas import (
                     outlook_agg_feasible,
                     outlook_attention_proj_pallas,
                 )
 
-                if (self.use_pallas == "fused_agg"
-                        or outlook_agg_feasible(B, Hs, Ws, self.dim, heads,
-                                                str(jnp.dtype(dt)))):
+                if forced or outlook_agg_feasible(B, Hs, Ws, self.dim,
+                                                  heads, str(jnp.dtype(dt))):
                     out = outlook_attention_proj_pallas(
-                        v, a.reshape(B, Hs, Ws, heads * kk),
-                        pw.astype(dt), pb.astype(dt))
+                        v, a2, pw.astype(dt), pb.astype(dt))
                     return nn.Dropout(self.proj_drop,
                                       deterministic=deterministic)(out)
             y = outlook_aggregate(v, a, kernel_size=k, stride=s,

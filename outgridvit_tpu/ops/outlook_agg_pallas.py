@@ -520,3 +520,405 @@ def _bwd_vjp(res, g):
 
 
 outlook_attention_proj_pallas.defvjp(_fwd_vjp, _bwd_vjp)
+
+
+# ------------------------------------------- v-fold (full-branch) variant
+# OUTGRIDVIT_OUTAGG=2: also folds the value projection into the kernel —
+# out = aggregate(x @ Wv + bv, attn) @ Wp + bp. The value tensor never
+# touches HBM at all (the base kernel still pays XLA's dense write + one
+# kernel read of v); backward additionally emits dx/dWv/dbv in the same
+# pass. Costs one extra in-VMEM [.., Cin] block and the two weight tiles.
+
+
+def _fwdv_kernel(x_ref, a_ref, wv_ref, bv_ref, wp_ref, bp_ref, o_ref, *,
+                 H: int, W: int, heads: int, hd: int):
+    x = x_ref[0]
+    v32 = (jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
+           + bv_ref[...].astype(jnp.float32))
+    a32 = a_ref[0].astype(jnp.float32)
+    S = v32.shape[0]
+    pi = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    hi, wi = pi // W, pi % W
+    acc = jnp.zeros_like(v32)
+    for _, _, _, wt, sv in _taps(v32, a32, hi, wi, H, W, heads, hd):
+        acc = acc + sv * wt
+    y = acc.astype(x_ref.dtype)
+    out = jnp.dot(y, wp_ref[...], preferred_element_type=jnp.float32)
+    o_ref[0] = (out + bp_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _bwdv_kernel(x_ref, a_ref, wv_ref, bv_ref, wp_ref, g_ref,
+                 dx_ref, da_ref, dwv_ref, dbv_ref, dwp_ref, dbp_ref, *,
+                 H: int, W: int, heads: int, hd: int):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        dwv_ref[...] = jnp.zeros_like(dwv_ref)
+        dbv_ref[...] = jnp.zeros_like(dbv_ref)
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
+
+    x = x_ref[0]
+    v32 = (jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
+           + bv_ref[...].astype(jnp.float32))
+    a32 = a_ref[0].astype(jnp.float32)
+    g = g_ref[0]
+    g32 = g.astype(jnp.float32)
+    S, C = v32.shape
+    pi = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    hi, wi = pi // W, pi % W
+
+    acc = jnp.zeros_like(v32)
+    for _, _, _, wt, sv in _taps(v32, a32, hi, wi, H, W, heads, hd):
+        acc = acc + sv * wt
+    y = acc.astype(x_ref.dtype)
+    dwp_ref[...] = dwp_ref[...] + jax.lax.dot_general(
+        y, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbp_ref[...] = dbp_ref[...] + jnp.sum(g32, axis=0, keepdims=True)
+
+    dyag = jax.lax.dot_general(
+        g, wp_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dv = jnp.zeros_like(v32)
+    da = jnp.zeros((S, heads * 9), jnp.float32)
+    for t, dy_o, dx_o, wt, sv in _taps(v32, a32, hi, wi, H, W, heads, hd):
+        da = da + jnp.dot(sv * dyag, _exp_mat(t, heads, hd).T,
+                          preferred_element_type=jnp.float32)
+        z = _shift_flat(dyag * wt, -dy_o, -dx_o, W)
+        m = _border_mask(hi, wi, -dy_o, -dx_o, H, W)
+        if m is not None:
+            z = jnp.where(m, z, 0.0)
+        dv = dv + z
+    dvd = dv.astype(x_ref.dtype)
+    dx_ref[0] = jax.lax.dot_general(
+        dvd, wv_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    dwv_ref[...] = dwv_ref[...] + jax.lax.dot_general(
+        x, dvd, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbv_ref[...] = dbv_ref[...] + jnp.sum(dv, axis=0, keepdims=True)
+    da_ref[0] = da.astype(da_ref.dtype)
+
+
+def _halo_border_mask(W: int, bh: int, nch: int):
+    """[ (bh+2)*W, 1 ] mask zeroing the halo rows that are IMAGE borders
+    for the current chunk (x@Wv + bv of a zero x-halo is bv, not the zero
+    padding the aggregate's semantics require — mask v, not x)."""
+    i = pl.program_id(0) % nch  # chunk index (grid is b*nch + i)
+    row = jax.lax.broadcasted_iota(jnp.int32, ((bh + 2) * W, 1), 0)
+    top_border = (row < W) & (i == 0)
+    bot_border = (row >= (bh + 1) * W) & (i == nch - 1)
+    return ~(top_border | bot_border)
+
+
+def _fwdv_chunk_kernel(x_ref, top_ref, bot_ref, a_ref, wv_ref, bv_ref,
+                       wp_ref, bp_ref, o_ref, *,
+                       W: int, bh: int, nch: int, heads: int, hd: int):
+    ext_x = jnp.concatenate([top_ref[0], x_ref[0], bot_ref[0]], axis=0)
+    ext = (jnp.dot(ext_x, wv_ref[...], preferred_element_type=jnp.float32)
+           + bv_ref[...].astype(jnp.float32))
+    ext = jnp.where(_halo_border_mask(W, bh, nch), ext, 0.0)
+    a32 = a_ref[0].astype(jnp.float32)
+    S = bh * W
+    wi = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) % W
+    acc = jnp.zeros((S, ext.shape[-1]), jnp.float32)
+    for _, _, _, wt, sv in _chunk_taps(ext, a32, wi, W, bh, heads, hd):
+        acc = acc + sv * wt
+    y = acc.astype(x_ref.dtype)
+    out = jnp.dot(y, wp_ref[...], preferred_element_type=jnp.float32)
+    o_ref[0] = (out + bp_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _bwdv_chunk_kernel(x_ref, top_ref, bot_ref, a_ref, wv_ref, bv_ref,
+                       wp_ref, g_ref, dx_ref, dxt_ref, dxb_ref, da_ref,
+                       dwv_ref, dbv_ref, dwp_ref, dbp_ref, *,
+                       W: int, bh: int, nch: int, heads: int, hd: int):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        dwv_ref[...] = jnp.zeros_like(dwv_ref)
+        dbv_ref[...] = jnp.zeros_like(dbv_ref)
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
+
+    ext_x = jnp.concatenate([top_ref[0], x_ref[0], bot_ref[0]], axis=0)
+    ext = (jnp.dot(ext_x, wv_ref[...], preferred_element_type=jnp.float32)
+           + bv_ref[...].astype(jnp.float32))
+    keep = _halo_border_mask(W, bh, nch)
+    ext = jnp.where(keep, ext, 0.0)
+    a32 = a_ref[0].astype(jnp.float32)
+    g = g_ref[0]
+    g32 = g.astype(jnp.float32)
+    S = bh * W
+    C = ext.shape[-1]
+    wi = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) % W
+
+    acc = jnp.zeros((S, C), jnp.float32)
+    for _, _, _, wt, sv in _chunk_taps(ext, a32, wi, W, bh, heads, hd):
+        acc = acc + sv * wt
+    y = acc.astype(x_ref.dtype)
+    dwp_ref[...] = dwp_ref[...] + jax.lax.dot_general(
+        y, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbp_ref[...] = dbp_ref[...] + jnp.sum(g32, axis=0, keepdims=True)
+
+    dyag = jax.lax.dot_general(
+        g, wp_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    ne = S + 2 * W + 2
+    dv_ext = jnp.zeros((ne, C), jnp.float32)
+    da = jnp.zeros((S, heads * 9), jnp.float32)
+    for t, dy_o, dx_o, wt, sv in _chunk_taps(ext, a32, wi, W, bh, heads,
+                                             hd):
+        da = da + jnp.dot((sv * dyag).astype(a32.dtype),
+                          _exp_mat(t, heads, hd).T.astype(a32.dtype),
+                          preferred_element_type=jnp.float32)
+        z = _mask_w(dyag * wt, wi, dx_o, W)
+        start = 1 + W + dy_o * W + dx_o
+        dv_ext = dv_ext + jnp.pad(z, ((start, ne - S - start), (0, 0)))
+    # strip the corner pad elements, then zero the IMAGE-border halo rows:
+    # their dv is the grad wrt zero padding, not wrt any x pixel — it must
+    # not leak into dWv/dbv/dx
+    dvf = jnp.where(keep, dv_ext[1:1 + S + 2 * W], 0.0)
+    dvd = dvf.astype(x_ref.dtype)
+    dx_ext = jax.lax.dot_general(
+        dvd, wv_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dx_ref[0] = dx_ext[W:W + S].astype(dx_ref.dtype)
+    dxt_ref[0] = dx_ext[:W].astype(dxt_ref.dtype)
+    dxb_ref[0] = dx_ext[W + S:].astype(dxb_ref.dtype)
+    dwv_ref[...] = dwv_ref[...] + jax.lax.dot_general(
+        ext_x, dvd, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbv_ref[...] = dbv_ref[...] + jnp.sum(dvf, axis=0, keepdims=True)
+    da_ref[0] = da.astype(da_ref.dtype)
+
+
+def _vmem_estimate_v(S: int, Cin: int, C: int, h9: int,
+                     itemsize: int) -> int:
+    """v-fold backward live-set upper bound: the base estimate plus the
+    x/dx io blocks and their fp32 transients plus the weight tiles."""
+    cip = max(Cin, 128) if Cin % 128 else Cin
+    cp = max(C, 128) if C % 128 else C
+    base = _vmem_estimate(S, C, h9, itemsize)
+    io = 2 * itemsize * (2 * S * cip)          # x in, dx out (buffered)
+    f32 = 4 * (S * cip + S * cp)               # dx_ext / v recompute
+    w = 4 * (2 * cip * cp + 2 * cp * cp)
+    return base + io + f32 + w
+
+
+def _pick_bh_v(H: int, W: int, Cin: int, C: int, h9: int,
+               itemsize: int) -> int:
+    budget = _budget()
+    if _vmem_estimate_v(H * W, Cin, C, h9, itemsize) <= budget:
+        return 0
+    for bh in range(H // 2, 0, -1):
+        if H % bh == 0 and _vmem_estimate_v((bh + 2) * W, Cin, C, h9,
+                                            itemsize) <= budget:
+            return bh
+    return -1
+
+
+def _fwdv_pallas(x, a, wv, bv, wp, bp):
+    B, H, W, Cin = x.shape
+    S = H * W
+    C = wv.shape[1]
+    heads = a.shape[-1] // 9
+    hd = C // heads
+    h9 = heads * 9
+    bh = _pick_bh_v(H, W, Cin, C, h9, x.dtype.itemsize)
+    if bh < 0:
+        raise ValueError(f"fused outlook branch infeasible for {x.shape}")
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+    blk = lambda shape: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    wvd = wv.astype(x.dtype)
+    bvd = bv.reshape(1, C).astype(x.dtype)
+    wpd = wp.astype(x.dtype)
+    bpd = bp.reshape(1, C).astype(x.dtype)
+    if bh == 0:
+        out = pl.pallas_call(
+            functools.partial(_fwdv_kernel, H=H, W=W, heads=heads, hd=hd),
+            out_shape=jax.ShapeDtypeStruct((B, S, C), x.dtype),
+            grid=(B,),
+            in_specs=[blk((S, Cin)), blk((S, h9)), const((Cin, C)),
+                      const((1, C)), const((C, C)), const((1, C))],
+            out_specs=blk((S, C)),
+            cost_estimate=pl.CostEstimate(
+                flops=B * S * (2 * Cin * C + 2 * 9 * C + 2 * C * C),
+                bytes_accessed=B * S * (Cin + C + h9) * x.dtype.itemsize,
+                transcendentals=0),
+        )(x.reshape(B, S, Cin), a.reshape(B, S, h9), wvd, bvd, wpd, bpd)
+        return out.reshape(B, H, W, C)
+    nch = H // bh
+    Sc = bh * W
+    n = B * nch
+    top, bot = _halos(x, bh)
+    out = pl.pallas_call(
+        functools.partial(_fwdv_chunk_kernel, W=W, bh=bh, nch=nch,
+                          heads=heads, hd=hd),
+        out_shape=jax.ShapeDtypeStruct((n, Sc, C), x.dtype),
+        grid=(n,),
+        in_specs=[blk((Sc, Cin)), blk((W, Cin)), blk((W, Cin)),
+                  blk((Sc, h9)), const((Cin, C)), const((1, C)),
+                  const((C, C)), const((1, C))],
+        out_specs=blk((Sc, C)),
+        cost_estimate=pl.CostEstimate(
+            flops=n * Sc * (2 * Cin * C + 2 * 9 * C + 2 * C * C),
+            bytes_accessed=n * Sc * (Cin + C + h9) * x.dtype.itemsize,
+            transcendentals=0),
+    )(x.reshape(n, Sc, Cin), top.reshape(n, W, Cin), bot.reshape(n, W, Cin),
+      a.reshape(n, Sc, h9), wvd, bvd, wpd, bpd)
+    return out.reshape(B, H, W, C)
+
+
+def _bwdv_pallas(x, a, wv, bv, wp, g):
+    B, H, W, Cin = x.shape
+    S = H * W
+    C = wv.shape[1]
+    heads = a.shape[-1] // 9
+    hd = C // heads
+    h9 = heads * 9
+    bh = _pick_bh_v(H, W, Cin, C, h9, x.dtype.itemsize)
+    if bh < 0:
+        raise ValueError(f"fused outlook branch infeasible for {x.shape}")
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+    blk = lambda shape: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    wvd = wv.astype(x.dtype)
+    bvd = bv.reshape(1, C).astype(x.dtype)
+    wpd = wp.astype(x.dtype)
+    if bh == 0:
+        dx, da, dwv, dbv, dwp, dbp = pl.pallas_call(
+            functools.partial(_bwdv_kernel, H=H, W=W, heads=heads, hd=hd),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, S, Cin), x.dtype),
+                jax.ShapeDtypeStruct((B, S, h9), a.dtype),
+                jax.ShapeDtypeStruct((Cin, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((C, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+            ),
+            grid=(B,),
+            in_specs=[blk((S, Cin)), blk((S, h9)), const((Cin, C)),
+                      const((1, C)), const((C, C)), blk((S, C))],
+            out_specs=(blk((S, Cin)), blk((S, h9)), const((Cin, C)),
+                       const((1, C)), const((C, C)), const((1, C))),
+            cost_estimate=pl.CostEstimate(
+                flops=3 * B * S * (2 * Cin * C + 2 * 9 * C + 2 * C * C),
+                bytes_accessed=2 * B * S * (Cin + C + h9) * x.dtype.itemsize,
+                transcendentals=0),
+        )(x.reshape(B, S, Cin), a.reshape(B, S, h9), wvd, bvd, wpd,
+          g.reshape(B, S, C))
+        return (dx.reshape(x.shape), da.reshape(a.shape), dwv,
+                dbv.reshape(C), dwp, dbp.reshape(C))
+    nch = H // bh
+    Sc = bh * W
+    n = B * nch
+    top, bot = _halos(x, bh)
+    dx, dxt, dxb, da, dwv, dbv, dwp, dbp = pl.pallas_call(
+        functools.partial(_bwdv_chunk_kernel, W=W, bh=bh, nch=nch,
+                          heads=heads, hd=hd),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, Sc, Cin), x.dtype),
+            jax.ShapeDtypeStruct((n, W, Cin), jnp.float32),
+            jax.ShapeDtypeStruct((n, W, Cin), jnp.float32),
+            jax.ShapeDtypeStruct((n, Sc, h9), a.dtype),
+            jax.ShapeDtypeStruct((Cin, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ),
+        grid=(n,),
+        in_specs=[blk((Sc, Cin)), blk((W, Cin)), blk((W, Cin)),
+                  blk((Sc, h9)), const((Cin, C)), const((1, C)),
+                  const((C, C)), blk((Sc, C))],
+        out_specs=(blk((Sc, Cin)), blk((W, Cin)), blk((W, Cin)),
+                   blk((Sc, h9)), const((Cin, C)), const((1, C)),
+                   const((C, C)), const((1, C))),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * n * Sc * (2 * Cin * C + 2 * 9 * C + 2 * C * C),
+            bytes_accessed=2 * n * Sc * (Cin + C + h9) * x.dtype.itemsize,
+            transcendentals=0),
+    )(x.reshape(n, Sc, Cin), top.reshape(n, W, Cin), bot.reshape(n, W, Cin),
+      a.reshape(n, Sc, h9), wvd, bvd, wpd, g.reshape(n, Sc, C))
+    dx5 = dx.reshape(B, nch, bh, W, Cin)
+    dt5 = dxt.reshape(B, nch, W, Cin)
+    db5 = dxb.reshape(B, nch, W, Cin)
+    dx5 = dx5.at[:, :-1, bh - 1].add(dt5[:, 1:].astype(dx5.dtype))
+    dx5 = dx5.at[:, 1:, 0].add(db5[:, :-1].astype(dx5.dtype))
+    return (dx5.reshape(x.shape), da.reshape(a.shape), dwv,
+            dbv.reshape(C), dwp, dbp.reshape(C))
+
+
+@jax.custom_vjp
+def outlook_branch_pallas(x, a, wv, bv, wp, bp):
+    """``aggregate(x @ wv + bv, attn) @ wp + bp`` — the outlooker's whole
+    value path in one fused pass; the value tensor never touches HBM.
+
+    x: [B, H, W, Cin]; a: [B, H, W, heads*9] post-softmax tap weights
+    (head-major); wv: [Cin, C]; bv: [C]; wp: [C, C]; bp: [C].
+    Stride-1, K=3 only. Returns [B, H, W, C]."""
+    return _fwdv_pallas(x, a, wv, bv, wp, bp)
+
+
+def _fwdv_vjp(x, a, wv, bv, wp, bp):
+    return _fwdv_pallas(x, a, wv, bv, wp, bp), (x, a, wv, bv, wp)
+
+
+def _bwdv_vjp(res, g):
+    x, a, wv, bv, wp = res
+    dx, da, dwv, dbv, dwp, dbp = _bwdv_pallas(x, a, wv, bv, wp, g)
+    return (dx, da, dwv.astype(wv.dtype), dbv.astype(wv.dtype),
+            dwp.astype(wp.dtype), dbp.astype(wp.dtype))
+
+
+outlook_branch_pallas.defvjp(_fwdv_vjp, _bwdv_vjp)
+
+
+@functools.lru_cache(maxsize=None)
+def outlook_branch_feasible(B: int, H: int, W: int, Cin: int, C: int,
+                            heads: int, dtype_str: str = "bfloat16") -> bool:
+    """Compile-probe for the v-fold kernel pair (cached like
+    `outlook_agg_feasible`)."""
+    if C % heads != 0 or _pick_bh_v(H, W, Cin, C, heads * 9,
+                                    jnp.dtype(dtype_str).itemsize) < 0:
+        return False
+    if jax.default_backend() != "tpu":
+        return True
+    from outgridvit_tpu.ops.probe_cache import (
+        _probe_disk_load,
+        _probe_disk_save,
+    )
+
+    key = f"tpu:outaggv:{B}:{H}:{W}:{Cin}:{C}:{heads}:{dtype_str}"
+    disk = _probe_disk_load()
+    if key in disk:
+        return bool(disk[key])
+
+    dt = jnp.dtype(dtype_str)
+    shapes = (
+        jax.ShapeDtypeStruct((B, H, W, Cin), dt),
+        jax.ShapeDtypeStruct((B, H, W, heads * 9), dt),
+        jax.ShapeDtypeStruct((Cin, C), dt),
+        jax.ShapeDtypeStruct((C,), dt),
+        jax.ShapeDtypeStruct((C, C), dt),
+        jax.ShapeDtypeStruct((C,), dt),
+    )
+
+    def loss(*args):
+        return jnp.sum(outlook_branch_pallas(*args).astype(jnp.float32))
+
+    try:
+        jax.jit(jax.grad(loss, argnums=tuple(range(6)))).lower(
+            *shapes).compile()
+        ok = True
+    except Exception:  # noqa: BLE001
+        ok = False
+    _probe_disk_save(key, ok)
+    return ok

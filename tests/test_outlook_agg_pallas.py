@@ -185,3 +185,90 @@ def test_env_toggle_dispatches_fused_path(monkeypatch, tmp_path):
     assert calls, "fused kernel was not dispatched under OUTGRIDVIT_OUTAGG=1"
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def _xla_branch_twin(x, a, wv, bv, wp, bp, heads):
+    B, H, W, _ = x.shape
+    v = x @ wv + bv
+    a5 = a.reshape(B, H, W, heads, 9)
+    y = outlook_aggregate_xla(v, a5, kernel_size=3, stride=1)
+    return y @ wp + bp
+
+
+@pytest.mark.parametrize("B,H,W,Cin,C,heads,kib", [
+    (2, 4, 8, 32, 48, 2, None),     # whole-image, Cin != C
+    (1, 16, 8, 48, 48, 2, "640"),   # forced row-chunked (halo v-proj +
+                                    # border-bias masking + dx scatter)
+])
+def test_vfold_branch_matches_xla_fwd_and_grads(B, H, W, Cin, C, heads,
+                                                kib, monkeypatch):
+    from outgridvit_tpu.ops.outlook_agg_pallas import outlook_branch_pallas
+
+    if kib is not None:
+        monkeypatch.setenv("OUTGRIDVIT_OUTAGG_KIB", kib)
+    ks = jax.random.split(jax.random.PRNGKey(7), 6)
+    x = jax.random.normal(ks[0], (B, H, W, Cin), jnp.float32)
+    logits = jax.random.normal(ks[1], (B, H, W, heads, 9), jnp.float32)
+    a = jax.nn.softmax(logits, axis=-1).reshape(B, H, W, heads * 9)
+    wv = 0.3 * jax.random.normal(ks[2], (Cin, C), jnp.float32)
+    bv = 0.1 * jax.random.normal(ks[3], (C,), jnp.float32)
+    wp = 0.3 * jax.random.normal(ks[4], (C, C), jnp.float32)
+    bp = 0.1 * jax.random.normal(ks[5], (C,), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(9), (B, H, W, C), jnp.float32)
+
+    want = _xla_branch_twin(x, a, wv, bv, wp, bp, heads)
+
+    def want_loss(*args):
+        return jnp.sum(_xla_branch_twin(*args, heads) * g)
+
+    want_grads = jax.grad(want_loss, argnums=tuple(range(6)))(
+        x, a, wv, bv, wp, bp)
+
+    def got_loss(*args):
+        return jnp.sum(outlook_branch_pallas(*args) * g)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = outlook_branch_pallas(x, a, wv, bv, wp, bp)
+        got_grads = jax.grad(got_loss, argnums=tuple(range(6)))(
+            x, a, wv, bv, wp, bp)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+    for name, gw, gg, tol in zip(
+            ("dx", "da", "dwv", "dbv", "dwp", "dbp"), want_grads, got_grads,
+            (5e-5, 5e-5, 5e-4, 5e-4, 5e-4, 5e-4)):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   atol=tol, rtol=tol, err_msg=name)
+
+
+@pytest.mark.slow
+def test_vfold_module_dispatch_matches_default_path():
+    """use_pallas="fused_agg_v" through OutlookAttention2d (interpret mode)
+    must match the default XLA path — forward and input grads — with
+    qkv_bias on (the bias must NOT leak through zero border halos)."""
+    from outgridvit_tpu.models.blocks import OutlookAttention2d
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32), jnp.float32)
+    ref = OutlookAttention2d(dim=48, num_heads=2, dtype=jnp.float32)
+    fused = OutlookAttention2d(dim=48, num_heads=2, dtype=jnp.float32,
+                               use_pallas="fused_agg_v")
+    variables = ref.init(jax.random.PRNGKey(1), x)
+
+    want = ref.apply(variables, x)
+
+    def want_loss(x):
+        return jnp.sum(ref.apply(variables, x) ** 2)
+
+    want_dx = jax.grad(want_loss)(x)
+
+    def got_loss(x):
+        return jnp.sum(fused.apply(variables, x) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fused.apply(variables, x)
+        got_dx = jax.grad(got_loss)(x)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_dx), np.asarray(want_dx),
+                               atol=3e-5, rtol=3e-5)
