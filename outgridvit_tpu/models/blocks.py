@@ -72,9 +72,12 @@ class OutlookAttention2d(nn.Module):
         vw, vb = DenseParams(self.dim, use_bias=self.qkv_bias, name="v")(C)
         pw, pb = DenseParams(self.dim, use_bias=True, name="proj")(self.dim)
         dt = self.dtype
-        v = x.astype(dt) @ vw.astype(dt)
-        if vb is not None:
-            v = v + vb.astype(dt)
+
+        def _v():
+            # lazy: the v-fold kernel path computes the value projection
+            # IN-KERNEL and must not pay it (again) here
+            v = x.astype(dt) @ vw.astype(dt)
+            return v + vb.astype(dt) if vb is not None else v
 
         # A fused Pallas outlook kernel exists
         # (outgridvit_tpu/ops/outlook_pallas.py) but measured SLOWER than
@@ -86,7 +89,7 @@ class OutlookAttention2d(nn.Module):
                 not (self.attn_drop > 0.0 and not deterministic):
             from outgridvit_tpu.ops.outlook_pallas import outlook_attention_pallas
 
-            y = outlook_attention_pallas(v, a, heads, k)
+            y = outlook_attention_pallas(_v(), a, heads, k)
         else:
             if s > 1:
                 a = nn.avg_pool(a, (s, s), strides=(s, s))
@@ -144,10 +147,10 @@ class OutlookAttention2d(nn.Module):
                 if forced or outlook_agg_feasible(B, Hs, Ws, self.dim,
                                                   heads, str(jnp.dtype(dt))):
                     out = outlook_attention_proj_pallas(
-                        v, a2, pw.astype(dt), pb.astype(dt))
+                        _v(), a2, pw.astype(dt), pb.astype(dt))
                     return nn.Dropout(self.proj_drop,
                                       deterministic=deterministic)(out)
-            y = outlook_aggregate(v, a, kernel_size=k, stride=s,
+            y = outlook_aggregate(_v(), a, kernel_size=k, stride=s,
                                   use_pallas=False)
         y = y.astype(dt) @ pw.astype(dt) + pb.astype(dt)
         y = nn.Dropout(self.proj_drop, deterministic=deterministic)(y)

@@ -141,15 +141,7 @@ def dwconv3x3_bwd_feasible(B: int, H: int, W: int, C: int,
         return False
     if jax.default_backend() != "tpu":
         return True
-    from outgridvit_tpu.ops.probe_cache import (
-        _probe_disk_load,
-        _probe_disk_save,
-    )
-
-    key = f"tpu:dwb:{B}:{H}:{W}:{C}:{dtype_str}"
-    disk = _probe_disk_load()
-    if key in disk:
-        return bool(disk[key])
+    from outgridvit_tpu.ops.probe_cache import cached_probe
 
     def loss(x, w9):
         return jnp.sum(dwconv3x3(x, w9).astype(jnp.float32))
@@ -157,13 +149,10 @@ def dwconv3x3_bwd_feasible(B: int, H: int, W: int, C: int,
     dt = jnp.dtype(dtype_str)
     sx = jax.ShapeDtypeStruct((B, H, W, C), dt)
     sw = jax.ShapeDtypeStruct((9, C), dt)
-    try:
-        jax.jit(jax.grad(loss, argnums=(0, 1))).lower(sx, sw).compile()
-        ok = True
-    except Exception:  # noqa: BLE001 — any compile failure means infeasible
-        ok = False
-    _probe_disk_save(key, ok)
-    return ok
+    return cached_probe(
+        f"tpu:dwb:{B}:{H}:{W}:{C}:{dtype_str}",
+        lambda: jax.jit(jax.grad(loss, argnums=(0, 1))).lower(
+            sx, sw).compile())
 
 
 def _bwd_pallas(x, dy, w9):

@@ -243,25 +243,19 @@ def attn_kernel_feasible(kind: str, G: int, N: int, C: int, heads: int,
     machine (a few seconds), not per run."""
     import jax
 
+    from outgridvit_tpu.ops.probe_cache import cached_probe
+
     if jax.default_backend() != "tpu":
         return True  # interpret/test paths have no scoped-VMEM ceiling
-    key = f"tpu:{kind}:{G}:{N}:{C}:{heads}:{dtype_str}"
-    disk = _probe_disk_load()
-    if key in disk:
-        return bool(disk[key])
     fn = {"t": grid_mhsa_pallas_t, "th": grid_mhsa_pallas_th}[kind]
 
     def loss(x):
         return jnp.sum(fn(x, heads).astype(jnp.float32))
 
     spec = jax.ShapeDtypeStruct((G, N, 3 * C), jnp.dtype(dtype_str))
-    try:
-        jax.jit(jax.grad(loss)).lower(spec).compile()
-        ok = True
-    except Exception:  # noqa: BLE001 — any compile failure means infeasible
-        ok = False
-    _probe_disk_save(key, ok)
-    return ok
+    return cached_probe(
+        f"tpu:{kind}:{G}:{N}:{C}:{heads}:{dtype_str}",
+        lambda: jax.jit(jax.grad(loss)).lower(spec).compile())
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

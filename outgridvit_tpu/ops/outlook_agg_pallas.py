@@ -64,6 +64,72 @@ def _taps(v32, a32, hi, wi, H, W, heads, hd):
         yield t, dy_o, dx_o, wt, sv
 
 
+
+def _agg_whole(v32, a32, hi, wi, H, W, heads, hd):
+    """fp32 aggregate over the whole-image taps."""
+    acc = jnp.zeros_like(v32)
+    for _, _, _, wt, sv in _taps(v32, a32, hi, wi, H, W, heads, hd):
+        acc = acc + sv * wt
+    return acc
+
+
+def _agg_chunk(ext, a32, wi, W, bh, heads, hd):
+    """fp32 aggregate over the haloed-chunk taps."""
+    acc = jnp.zeros((bh * W, ext.shape[-1]), jnp.float32)
+    for _, _, _, wt, sv in _chunk_taps(ext, a32, wi, W, bh, heads, hd):
+        acc = acc + sv * wt
+    return acc
+
+
+def _proj_grads(y, g, wp_ref, dwp_ref, dbp_ref):
+    """Accumulate the projection grads; return dyag = g @ Wp^T."""
+    dwp_ref[...] = dwp_ref[...] + jax.lax.dot_general(
+        y, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbp_ref[...] = dbp_ref[...] + jnp.sum(
+        g.astype(jnp.float32), axis=0, keepdims=True)
+    return jax.lax.dot_general(
+        g, wp_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _bwd_taps(v32, a32, dyag, hi, wi, H, W, heads, hd):
+    """(dv, da) for the whole-image layout.
+
+    da[s, h*9+t] = sum_{c in head h} sv[s, c] * dyag[s, c];
+    dv[q] += dyag[q - off] * wt[q - off], source-masked at borders."""
+    S = v32.shape[0]
+    dv = jnp.zeros_like(v32)
+    da = jnp.zeros((S, heads * 9), jnp.float32)
+    for t, dy_o, dx_o, wt, sv in _taps(v32, a32, hi, wi, H, W, heads, hd):
+        da = da + jnp.dot(sv * dyag, _exp_mat(t, heads, hd).T,
+                          preferred_element_type=jnp.float32)
+        z = _shift_flat(dyag * wt, -dy_o, -dx_o, W)
+        m = _border_mask(hi, wi, -dy_o, -dx_o, H, W)
+        if m is not None:
+            z = jnp.where(m, z, 0.0)
+        dv = dv + z
+    return dv, da
+
+
+def _bwd_taps_chunk(ext, a32, dyag, wi, W, bh, heads, hd):
+    """(dv_ext [bh*W + 2W + 2, C] with corner pads, da) for the chunked
+    layout: dv_ext[q] += (dyag*wt)[p] at padded-ext offset 1+W+off."""
+    S = bh * W
+    C = ext.shape[-1]
+    ne = S + 2 * W + 2
+    dv_ext = jnp.zeros((ne, C), jnp.float32)
+    da = jnp.zeros((S, heads * 9), jnp.float32)
+    for t, dy_o, dx_o, wt, sv in _chunk_taps(ext, a32, wi, W, bh, heads,
+                                             hd):
+        da = da + jnp.dot((sv * dyag).astype(a32.dtype),
+                          _exp_mat(t, heads, hd).T.astype(a32.dtype),
+                          preferred_element_type=jnp.float32)
+        z = _mask_w(dyag * wt, wi, dx_o, W)
+        start = 1 + W + dy_o * W + dx_o
+        dv_ext = dv_ext + jnp.pad(z, ((start, ne - S - start), (0, 0)))
+    return dv_ext, da
+
+
 def _fwd_kernel(v_ref, a_ref, wp_ref, bp_ref, o_ref, *,
                 H: int, W: int, heads: int, hd: int):
     v32 = v_ref[0].astype(jnp.float32)   # [S, C]
@@ -71,10 +137,7 @@ def _fwd_kernel(v_ref, a_ref, wp_ref, bp_ref, o_ref, *,
     S = v32.shape[0]
     pi = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
     hi, wi = pi // W, pi % W
-    acc = jnp.zeros_like(v32)
-    for _, _, _, wt, sv in _taps(v32, a32, hi, wi, H, W, heads, hd):
-        acc = acc + sv * wt
-    y = acc.astype(v_ref.dtype)          # the aggregate (module dtype)
+    y = _agg_whole(v32, a32, hi, wi, H, W, heads, hd).astype(v_ref.dtype)
     out = jnp.dot(y, wp_ref[...], preferred_element_type=jnp.float32)
     o_ref[0] = (out + bp_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
@@ -91,38 +154,14 @@ def _bwd_kernel(v_ref, a_ref, wp_ref, g_ref, dv_ref, da_ref, dwp_ref,
     v32 = v_ref[0].astype(jnp.float32)
     a32 = a_ref[0].astype(jnp.float32)
     g = g_ref[0]                          # [S, C], module dtype
-    g32 = g.astype(jnp.float32)
-    S, C = v32.shape
+    S = v32.shape[0]
     pi = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
     hi, wi = pi // W, pi % W
 
     # recompute the aggregate for the projection grads (recompute-VJP)
-    acc = jnp.zeros_like(v32)
-    for _, _, _, wt, sv in _taps(v32, a32, hi, wi, H, W, heads, hd):
-        acc = acc + sv * wt
-    y = acc.astype(v_ref.dtype)
-    dwp_ref[...] = dwp_ref[...] + jax.lax.dot_general(
-        y, g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dbp_ref[...] = dbp_ref[...] + jnp.sum(g32, axis=0, keepdims=True)
-
-    # dy wrt the aggregate: g @ Wp^T (contract over output channels)
-    dyag = jax.lax.dot_general(
-        g, wp_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    dv = jnp.zeros_like(v32)
-    da = jnp.zeros((S, heads * 9), jnp.float32)
-    for t, dy_o, dx_o, wt, sv in _taps(v32, a32, hi, wi, H, W, heads, hd):
-        # da[s, h*9+t] = sum_{c in head h} sv[s, c] * dyag[s, c]
-        da = da + jnp.dot(sv * dyag, _exp_mat(t, heads, hd).T,
-                          preferred_element_type=jnp.float32)
-        # dv[q] += dyag[q - off] * wt[q - off]  (source-masked at borders)
-        z = _shift_flat(dyag * wt, -dy_o, -dx_o, W)
-        m = _border_mask(hi, wi, -dy_o, -dx_o, H, W)
-        if m is not None:
-            z = jnp.where(m, z, 0.0)
-        dv = dv + z
+    y = _agg_whole(v32, a32, hi, wi, H, W, heads, hd).astype(v_ref.dtype)
+    dyag = _proj_grads(y, g, wp_ref, dwp_ref, dbp_ref)
+    dv, da = _bwd_taps(v32, a32, dyag, hi, wi, H, W, heads, hd)
     dv_ref[0] = dv.astype(dv_ref.dtype)
     da_ref[0] = da.astype(da_ref.dtype)
 
@@ -171,10 +210,7 @@ def _fwd_chunk_kernel(v_ref, top_ref, bot_ref, a_ref, wp_ref, bp_ref,
     a32 = a_ref[0].astype(jnp.float32)
     S = bh * W
     wi = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) % W
-    acc = jnp.zeros((S, v_ref.shape[-1]), jnp.float32)
-    for _, _, _, wt, sv in _chunk_taps(ext, a32, wi, W, bh, heads, hd):
-        acc = acc + sv * wt
-    y = acc.astype(v_ref.dtype)
+    y = _agg_chunk(ext, a32, wi, W, bh, heads, hd).astype(v_ref.dtype)
     out = jnp.dot(y, wp_ref[...], preferred_element_type=jnp.float32)
     o_ref[0] = (out + bp_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
@@ -192,39 +228,12 @@ def _bwd_chunk_kernel(v_ref, top_ref, bot_ref, a_ref, wp_ref, g_ref,
     ext = jnp.concatenate([top_ref[0], v_ref[0], bot_ref[0]], axis=0)
     a32 = a_ref[0].astype(jnp.float32)
     g = g_ref[0]
-    g32 = g.astype(jnp.float32)
     S = bh * W
-    C = v_ref.shape[-1]
     wi = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) % W
 
-    acc = jnp.zeros((S, C), jnp.float32)
-    for _, _, _, wt, sv in _chunk_taps(ext, a32, wi, W, bh, heads, hd):
-        acc = acc + sv * wt
-    y = acc.astype(v_ref.dtype)
-    dwp_ref[...] = dwp_ref[...] + jax.lax.dot_general(
-        y, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dbp_ref[...] = dbp_ref[...] + jnp.sum(g32, axis=0, keepdims=True)
-
-    dyag = jax.lax.dot_general(
-        g, wp_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    # one extra flat element each end for the corner taps (W-masked)
-    ne = S + 2 * W + 2
-    dv_ext = jnp.zeros((ne, C), jnp.float32)
-    da = jnp.zeros((S, heads * 9), jnp.float32)
-    for t, dy_o, dx_o, wt, sv in _chunk_taps(ext, a32, wi, W, bh, heads,
-                                             hd):
-        da = da + jnp.dot((sv * dyag).astype(a32.dtype),
-                          _exp_mat(t, heads, hd).T.astype(a32.dtype),
-                          preferred_element_type=jnp.float32)
-        # dv_ext[q] += (dyag*wt)[p] for p = q - off; p indexes the CENTER
-        # rows (padded-ext offset 1+W), so the contribution lands at
-        # offset 1 + W + dy_o*W + dx_o — the same window _chunk_taps
-        # reads from. W-border validity is a property of p's column.
-        z = _mask_w(dyag * wt, wi, dx_o, W)
-        start = 1 + W + dy_o * W + dx_o
-        dv_ext = dv_ext + jnp.pad(z, ((start, ne - S - start), (0, 0)))
+    y = _agg_chunk(ext, a32, wi, W, bh, heads, hd).astype(v_ref.dtype)
+    dyag = _proj_grads(y, g, wp_ref, dwp_ref, dbp_ref)
+    dv_ext, da = _bwd_taps_chunk(ext, a32, dyag, wi, W, bh, heads, hd)
     dv_ref[0] = dv_ext[1 + W:1 + W + S].astype(dv_ref.dtype)
     dtop_ref[0] = dv_ext[1:1 + W].astype(dtop_ref.dtype)
     dbot_ref[0] = dv_ext[1 + W + S:1 + 2 * W + S].astype(dbot_ref.dtype)
@@ -283,15 +292,7 @@ def outlook_agg_feasible(B: int, H: int, W: int, C: int, heads: int,
         return False
     if jax.default_backend() != "tpu":
         return True
-    from outgridvit_tpu.ops.probe_cache import (
-        _probe_disk_load,
-        _probe_disk_save,
-    )
-
-    key = f"tpu:outagg:{B}:{H}:{W}:{C}:{heads}:{dtype_str}"
-    disk = _probe_disk_load()
-    if key in disk:
-        return bool(disk[key])
+    from outgridvit_tpu.ops.probe_cache import cached_probe
 
     dt = jnp.dtype(dtype_str)
     sv = jax.ShapeDtypeStruct((B, H, W, C), dt)
@@ -303,14 +304,10 @@ def outlook_agg_feasible(B: int, H: int, W: int, C: int, heads: int,
         return jnp.sum(
             outlook_attention_proj_pallas(v, a, wp, bp).astype(jnp.float32))
 
-    try:
-        jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3))).lower(
-            sv, sa, sw, sb).compile()
-        ok = True
-    except Exception:  # noqa: BLE001 — any compile failure = infeasible
-        ok = False
-    _probe_disk_save(key, ok)
-    return ok
+    return cached_probe(
+        f"tpu:outagg:{B}:{H}:{W}:{C}:{heads}:{dtype_str}",
+        lambda: jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3))).lower(
+            sv, sa, sw, sb).compile())
 
 
 def _halos(v4, bh):
@@ -539,10 +536,7 @@ def _fwdv_kernel(x_ref, a_ref, wv_ref, bv_ref, wp_ref, bp_ref, o_ref, *,
     S = v32.shape[0]
     pi = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
     hi, wi = pi // W, pi % W
-    acc = jnp.zeros_like(v32)
-    for _, _, _, wt, sv in _taps(v32, a32, hi, wi, H, W, heads, hd):
-        acc = acc + sv * wt
-    y = acc.astype(x_ref.dtype)
+    y = _agg_whole(v32, a32, hi, wi, H, W, heads, hd).astype(x_ref.dtype)
     out = jnp.dot(y, wp_ref[...], preferred_element_type=jnp.float32)
     o_ref[0] = (out + bp_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
@@ -564,33 +558,13 @@ def _bwdv_kernel(x_ref, a_ref, wv_ref, bv_ref, wp_ref, g_ref,
            + bv_ref[...].astype(jnp.float32))
     a32 = a_ref[0].astype(jnp.float32)
     g = g_ref[0]
-    g32 = g.astype(jnp.float32)
-    S, C = v32.shape
+    S = v32.shape[0]
     pi = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
     hi, wi = pi // W, pi % W
 
-    acc = jnp.zeros_like(v32)
-    for _, _, _, wt, sv in _taps(v32, a32, hi, wi, H, W, heads, hd):
-        acc = acc + sv * wt
-    y = acc.astype(x_ref.dtype)
-    dwp_ref[...] = dwp_ref[...] + jax.lax.dot_general(
-        y, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dbp_ref[...] = dbp_ref[...] + jnp.sum(g32, axis=0, keepdims=True)
-
-    dyag = jax.lax.dot_general(
-        g, wp_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    dv = jnp.zeros_like(v32)
-    da = jnp.zeros((S, heads * 9), jnp.float32)
-    for t, dy_o, dx_o, wt, sv in _taps(v32, a32, hi, wi, H, W, heads, hd):
-        da = da + jnp.dot(sv * dyag, _exp_mat(t, heads, hd).T,
-                          preferred_element_type=jnp.float32)
-        z = _shift_flat(dyag * wt, -dy_o, -dx_o, W)
-        m = _border_mask(hi, wi, -dy_o, -dx_o, H, W)
-        if m is not None:
-            z = jnp.where(m, z, 0.0)
-        dv = dv + z
+    y = _agg_whole(v32, a32, hi, wi, H, W, heads, hd).astype(x_ref.dtype)
+    dyag = _proj_grads(y, g, wp_ref, dwp_ref, dbp_ref)
+    dv, da = _bwd_taps(v32, a32, dyag, hi, wi, H, W, heads, hd)
     dvd = dv.astype(x_ref.dtype)
     dx_ref[0] = jax.lax.dot_general(
         dvd, wv_ref[...], (((1,), (1,)), ((), ())),
@@ -623,10 +597,7 @@ def _fwdv_chunk_kernel(x_ref, top_ref, bot_ref, a_ref, wv_ref, bv_ref,
     a32 = a_ref[0].astype(jnp.float32)
     S = bh * W
     wi = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) % W
-    acc = jnp.zeros((S, ext.shape[-1]), jnp.float32)
-    for _, _, _, wt, sv in _chunk_taps(ext, a32, wi, W, bh, heads, hd):
-        acc = acc + sv * wt
-    y = acc.astype(x_ref.dtype)
+    y = _agg_chunk(ext, a32, wi, W, bh, heads, hd).astype(x_ref.dtype)
     out = jnp.dot(y, wp_ref[...], preferred_element_type=jnp.float32)
     o_ref[0] = (out + bp_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
@@ -651,34 +622,12 @@ def _bwdv_chunk_kernel(x_ref, top_ref, bot_ref, a_ref, wv_ref, bv_ref,
     ext = jnp.where(keep, ext, 0.0)
     a32 = a_ref[0].astype(jnp.float32)
     g = g_ref[0]
-    g32 = g.astype(jnp.float32)
     S = bh * W
-    C = ext.shape[-1]
     wi = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) % W
 
-    acc = jnp.zeros((S, C), jnp.float32)
-    for _, _, _, wt, sv in _chunk_taps(ext, a32, wi, W, bh, heads, hd):
-        acc = acc + sv * wt
-    y = acc.astype(x_ref.dtype)
-    dwp_ref[...] = dwp_ref[...] + jax.lax.dot_general(
-        y, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dbp_ref[...] = dbp_ref[...] + jnp.sum(g32, axis=0, keepdims=True)
-
-    dyag = jax.lax.dot_general(
-        g, wp_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    ne = S + 2 * W + 2
-    dv_ext = jnp.zeros((ne, C), jnp.float32)
-    da = jnp.zeros((S, heads * 9), jnp.float32)
-    for t, dy_o, dx_o, wt, sv in _chunk_taps(ext, a32, wi, W, bh, heads,
-                                             hd):
-        da = da + jnp.dot((sv * dyag).astype(a32.dtype),
-                          _exp_mat(t, heads, hd).T.astype(a32.dtype),
-                          preferred_element_type=jnp.float32)
-        z = _mask_w(dyag * wt, wi, dx_o, W)
-        start = 1 + W + dy_o * W + dx_o
-        dv_ext = dv_ext + jnp.pad(z, ((start, ne - S - start), (0, 0)))
+    y = _agg_chunk(ext, a32, wi, W, bh, heads, hd).astype(x_ref.dtype)
+    dyag = _proj_grads(y, g, wp_ref, dwp_ref, dbp_ref)
+    dv_ext, da = _bwd_taps_chunk(ext, a32, dyag, wi, W, bh, heads, hd)
     # strip the corner pad elements, then zero the IMAGE-border halo rows:
     # their dv is the grad wrt zero padding, not wrt any x pixel — it must
     # not leak into dWv/dbv/dx
@@ -874,7 +823,7 @@ def _fwdv_vjp(x, a, wv, bv, wp, bp):
 def _bwdv_vjp(res, g):
     x, a, wv, bv, wp = res
     dx, da, dwv, dbv, dwp, dbp = _bwdv_pallas(x, a, wv, bv, wp, g)
-    return (dx, da, dwv.astype(wv.dtype), dbv.astype(wv.dtype),
+    return (dx, da, dwv.astype(wv.dtype), dbv.astype(bv.dtype),
             dwp.astype(wp.dtype), dbp.astype(wp.dtype))
 
 
@@ -891,15 +840,7 @@ def outlook_branch_feasible(B: int, H: int, W: int, Cin: int, C: int,
         return False
     if jax.default_backend() != "tpu":
         return True
-    from outgridvit_tpu.ops.probe_cache import (
-        _probe_disk_load,
-        _probe_disk_save,
-    )
-
-    key = f"tpu:outaggv:{B}:{H}:{W}:{Cin}:{C}:{heads}:{dtype_str}"
-    disk = _probe_disk_load()
-    if key in disk:
-        return bool(disk[key])
+    from outgridvit_tpu.ops.probe_cache import cached_probe
 
     dt = jnp.dtype(dtype_str)
     shapes = (
@@ -914,11 +855,7 @@ def outlook_branch_feasible(B: int, H: int, W: int, Cin: int, C: int,
     def loss(*args):
         return jnp.sum(outlook_branch_pallas(*args).astype(jnp.float32))
 
-    try:
-        jax.jit(jax.grad(loss, argnums=tuple(range(6)))).lower(
-            *shapes).compile()
-        ok = True
-    except Exception:  # noqa: BLE001
-        ok = False
-    _probe_disk_save(key, ok)
-    return ok
+    return cached_probe(
+        f"tpu:outaggv:{B}:{H}:{W}:{Cin}:{C}:{heads}:{dtype_str}",
+        lambda: jax.jit(jax.grad(loss, argnums=tuple(range(6)))).lower(
+            *shapes).compile())

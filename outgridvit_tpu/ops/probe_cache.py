@@ -58,3 +58,20 @@ def _probe_disk_save(key: str, ok: bool) -> None:
         os.replace(tmp, path)
     except OSError:
         pass  # read-only FS etc.: in-process cache still holds the verdict
+
+
+def cached_probe(key: str, compile_fn) -> bool:
+    """Disk-cached compile probe: returns the cached verdict for ``key``
+    or runs ``compile_fn()`` (which must raise on infeasible shapes),
+    records and returns the outcome. Used by every kernel family's
+    ``*_feasible`` dispatch gate."""
+    disk = _probe_disk_load()
+    if key in disk:
+        return bool(disk[key])
+    try:
+        compile_fn()
+        ok = True
+    except Exception:  # noqa: BLE001 — any compile failure = infeasible
+        ok = False
+    _probe_disk_save(key, ok)
+    return ok

@@ -13,12 +13,20 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p outputs/campaign
 
-run() { # run <name> <timeout_s> <cmd...>
-  local name="$1" t="$2"; shift 2
-  echo "=== $name ===" >&2
-  timeout "$t" "$@" >"outputs/campaign/$name.json" 2>"outputs/campaign/$name.log"
-  echo "--- $name rc=$? ---" >&2
-  tail -c 400 "outputs/campaign/$name.json" >&2 || true
+run() { # run <name> <timeout_s> <cmd...>  (stdout is one JSON line)
+  _run "$1.json" "$2" "${@:3}"
+}
+
+runtxt() { # runtxt <name> <timeout_s> <cmd...>  (human-readable tables)
+  _run "$1.txt" "$2" "${@:3}"
+}
+
+_run() {
+  local out="$1" t="$2"; shift 2
+  echo "=== $out ===" >&2
+  timeout "$t" "$@" >"outputs/campaign/$out" 2>"outputs/campaign/${out%.*}.log"
+  echo "--- $out rc=$? ---" >&2
+  tail -c 400 "outputs/campaign/$out" >&2 || true
   echo >&2
 }
 
@@ -55,14 +63,14 @@ run ab_eval_k_flagship 2400 python scripts/ab_eval_k.py \
 # per-component profiles at both image sizes with the round-3 winners OFF
 # (the baseline attribution the next attack starts from) and, for TIN-64,
 # with the two candidate kernels ON
-run profile_tin64 2400 python scripts/profile_step.py \
+runtxt profile_tin64 2400 python scripts/profile_step.py \
   --config configs/tinyimagenet200_model_a.yaml --batch 128 --top 30
 
-run profile_tin64_kernels 2400 env OUTGRIDVIT_DW_BWD=1 OUTGRIDVIT_OUTAGG=1 \
+runtxt profile_tin64_kernels 2400 env OUTGRIDVIT_DW_BWD=1 OUTGRIDVIT_OUTAGG=1 \
   python scripts/profile_step.py \
   --config configs/tinyimagenet200_model_a.yaml --batch 128 --top 30
 
-run profile_flagship 2400 python scripts/profile_step.py \
+runtxt profile_flagship 2400 python scripts/profile_step.py \
   --batch 128 --top 30
 
 echo "campaign done; results in outputs/campaign/" >&2

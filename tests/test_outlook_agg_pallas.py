@@ -202,10 +202,15 @@ def _xla_branch_twin(x, a, wv, bv, wp, bp, heads):
 ])
 def test_vfold_branch_matches_xla_fwd_and_grads(B, H, W, Cin, C, heads,
                                                 kib, monkeypatch):
-    from outgridvit_tpu.ops.outlook_agg_pallas import outlook_branch_pallas
+    from outgridvit_tpu.ops.outlook_agg_pallas import (
+        _pick_bh_v,
+        outlook_branch_pallas,
+    )
 
     if kib is not None:
         monkeypatch.setenv("OUTGRIDVIT_OUTAGG_KIB", kib)
+        # this leg must actually exercise the row-chunked kernels
+        assert _pick_bh_v(H, W, Cin, C, heads * 9, 4) > 0
     ks = jax.random.split(jax.random.PRNGKey(7), 6)
     x = jax.random.normal(ks[0], (B, H, W, Cin), jnp.float32)
     logits = jax.random.normal(ks[1], (B, H, W, heads, 9), jnp.float32)
