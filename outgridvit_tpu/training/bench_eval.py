@@ -85,35 +85,19 @@ def evaluate_one_epoch_logs(
     # `eval_one_epoch_logs.py:120-160`). The timer starts after the first
     # ``warmup_batches`` dispatches complete (compile excluded) and stops on
     # a final block, so the timed window is device-honest.
-    import itertools
     import os
 
     depth = int(os.environ.get("OUTGRIDVIT_EVAL_DEPTH", 16))
     tw = int(os.environ.get("OUTGRIDVIT_EVAL_TW", 8))
     sync_every = int(os.environ.get("OUTGRIDVIT_EVAL_SYNC", -1))
 
-    host_iter = iter(loader)
     if eval_superstep is not None and k > 1:
-        from outgridvit_tpu.training.loop import _group_batches
+        # group K batches per dispatch; superbatches shard the BATCH axis
+        from outgridvit_tpu.training.loop import _super_iter
 
-        try:
-            first = next(host_iter)
-        except StopIteration:
-            host_iter = iter(())
-        else:
-            host_iter = _group_batches(
-                itertools.chain([first], host_iter), k, first[1].shape[0])
-        if data_shard is not None and not callable(data_shard):
-            # [K, B, ...] superbatches must shard the BATCH axis, not the
-            # scan axis (same ndim-keyed rule as loop.py's train dispatch)
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            batch_shard = data_shard
-            super_shard = NamedSharding(
-                batch_shard.mesh, PartitionSpec(None, *batch_shard.spec))
-
-            def data_shard(a):  # noqa: F811 — labels [K,B] / imgs [K,B,...]
-                return super_shard if a.ndim in (2, 5) else batch_shard
+        host_iter, data_shard = _super_iter(loader, k, data_shard)
+    else:
+        host_iter = iter(loader)
 
     def _last_loss(m):
         return float(np.asarray(jax.device_get(m["loss"])).ravel()[-1])

@@ -30,6 +30,7 @@ from outgridvit_tpu.training.optim import make_optimizer, warmup_cosine_lr
 from outgridvit_tpu.training.steps import (
     StepConfig,
     make_eval_step,
+    make_eval_superstep,
     make_train_step,
     make_train_superstep,
 )
@@ -59,6 +60,33 @@ def _group_batches(it, k: int, full_bs: int):
         if len(buf) == k:
             yield from flush()
     yield from flush()
+
+
+def _super_iter(loader, k: int, data_shard):
+    """(iterator, sharding) for K-scanned eval dispatch: full-size batches
+    group into [K, B, ...] superbatches (ragged tails pass through), and a
+    NamedSharding is wrapped with the ndim-keyed rule so superbatches
+    shard the BATCH axis, not the scan axis."""
+    import itertools
+
+    it = iter(loader)
+    try:
+        first = next(it)
+    except StopIteration:
+        return iter(()), data_shard
+    it = _group_batches(itertools.chain([first], it), k, first[1].shape[0])
+    if data_shard is not None and not callable(data_shard):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch_shard = data_shard
+        super_shard = NamedSharding(
+            batch_shard.mesh, PartitionSpec(None, *batch_shard.spec))
+
+        def shard_fn(a):  # labels [K,B] / images [K,B,H,W,C]
+            return super_shard if a.ndim in (2, 5) else batch_shard
+
+        return it, shard_fn
+    return it, data_shard
 
 
 def _device_mem_gib() -> float:
@@ -174,9 +202,14 @@ def train_model(
         else None
     )
     super_shard = superbatch_sharding(mesh)
+    eval_norm = getattr(val_loader, "device_normalize", None)
     eval_step = make_eval_step(
-        model.apply, label_smoothing=0.0,
-        normalize=getattr(val_loader, "device_normalize", None))
+        model.apply, label_smoothing=0.0, normalize=eval_norm)
+    # the val epoch pays the same per-batch dispatch round trip the train
+    # path amortizes; scan the same K when superdispatching
+    eval_superstep = (make_eval_superstep(
+        model.apply, label_smoothing=0.0, normalize=eval_norm)
+        if kdisp > 1 else None)
     base_rng = jax.random.PRNGKey(seed)
 
     # ---- resume / best tracking (reference `train_full_model.py:73-103`)
@@ -409,7 +442,8 @@ def train_model(
         if val_loader is not None:
             if hasattr(val_loader, "set_epoch"):
                 val_loader.set_epoch(epoch)
-            va = _run_eval(eval_step, state, val_loader, data_shard)
+            va = _run_eval(eval_step, state, val_loader, data_shard,
+                           eval_superstep=eval_superstep, k=kdisp)
             val_mem = _device_mem_gib()
             history["val_loss"].append(va["loss"])
             history["val_top1"].append(va["top1"])
@@ -469,23 +503,40 @@ def train_model(
     return history, state
 
 
-def _run_eval(eval_step, state, loader, data_shard=None):
+def _run_eval(eval_step, state, loader, data_shard=None,
+              eval_superstep=None, k: int = 1):
     """Weighted-average eval over a loader (reference
     `one_epoch_train.py:209-259`).
 
     Metrics stay device-side during the epoch; one bulk ``jax.device_get``
     fetches them all (per-batch ``float()`` costs a host round trip each,
-    ruinous over remote-device links — same fix as the train loop's drain)."""
+    ruinous over remote-device links — same fix as the train loop's drain).
+    With ``eval_superstep``/``k`` (from ``make_eval_superstep``), runs of
+    ``k`` batches are evaluated by ONE dispatched program — the eval twin
+    of the train path's K-step scan (ragged tails fall back)."""
+    if eval_superstep is not None and k > 1:
+        host_iter, data_shard = _super_iter(loader, k, data_shard)
+    else:
+        host_iter = iter(loader)
     device_metrics = []
-    sizes = []
-    for batch in Prefetcher(iter(loader), sharding=data_shard):
-        device_metrics.append(eval_step(state.params, state.batch_stats, batch))
-        sizes.append(batch[1].shape[0])
+    sizes = []  # one weight array per dispatch
+    for batch in Prefetcher(host_iter, sharding=data_shard):
+        labels = batch[1]
+        if labels.ndim == 2:  # [K, B] superbatch
+            device_metrics.append(
+                eval_superstep(state.params, state.batch_stats, batch))
+            sizes.append(np.full(labels.shape[0], labels.shape[1],
+                                 dtype=np.float64))
+        else:
+            device_metrics.append(
+                eval_step(state.params, state.batch_stats, batch))
+            sizes.append(np.array([labels.shape[0]], dtype=np.float64))
     if not device_metrics:
         return {"loss": 0.0, "top1": 0.0, "top3": 0.0, "top5": 0.0}
     fetched = jax.device_get(device_metrics)
-    n = float(sum(sizes))
+    n = float(sum(float(b.sum()) for b in sizes))
     return {
-        k: sum(float(d[k]) * b for d, b in zip(fetched, sizes)) / max(1.0, n)
-        for k in ("loss", "top1", "top3", "top5")
+        key: float(sum((np.asarray(d[key], dtype=np.float64) * b).sum()
+                       for d, b in zip(fetched, sizes))) / max(1.0, n)
+        for key in ("loss", "top1", "top3", "top5")
     }

@@ -307,3 +307,34 @@ def test_log_line_format_matches_reference(capsys):
     assert re.search(r"\[Train\] loss \d+\.\d{4} \| top1 \d+\.\d{2}%", out)
     assert re.search(r"\[Val\]   loss \d+\.\d{4} \| top1 \d+\.\d{2}%", out)
     assert "=== Run config ===" in out
+
+
+def test_run_eval_superstep_matches_per_batch():
+    """loop._run_eval with the K-scanned eval dispatch (ragged tail
+    included) must report the same weighted metrics as per-batch eval."""
+    import jax
+    import jax.numpy as jnp
+
+    from outgridvit_tpu.training.loop import _run_eval
+    from outgridvit_tpu.training.optim import make_optimizer
+    from outgridvit_tpu.training.steps import (
+        make_eval_step, make_eval_superstep)
+    from outgridvit_tpu.training.train_state import TrainState
+
+    model = tiny_model()
+    bs = 4
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(1), jnp.zeros((bs, 8, 8, 3)))
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(1e-3))
+    batches = [(np.asarray(jax.random.normal(jax.random.PRNGKey(20 + i),
+                                             (bs, 8, 8, 3))),
+                np.asarray((jnp.arange(bs) + i) % 10)) for i in range(5)]
+    estep = make_eval_step(model.apply)
+    m1 = _run_eval(estep, state, batches)
+    m2 = _run_eval(estep, state, batches,
+                   eval_superstep=make_eval_superstep(model.apply), k=2)
+    for key in ("loss", "top1", "top3", "top5"):
+        np.testing.assert_allclose(m2[key], m1[key], rtol=1e-6, atol=1e-6)
