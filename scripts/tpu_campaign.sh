@@ -60,6 +60,10 @@ run ab_eval_k_flagship 2400 python scripts/ab_eval_k.py \
   --config configs/cifar100_model_a_7m.yaml --ks 1 8 --reps 3 \
   --batch-size 256 --num-samples 20480
 
+run ab_eval_k_tin64 2400 python scripts/ab_eval_k.py \
+  --config configs/tinyimagenet200_model_a.yaml --ks 1 8 --reps 3 \
+  --batch-size 256 --num-samples 10240
+
 # per-component profiles at both image sizes with the round-3 winners OFF
 # (the baseline attribution the next attack starts from) and, for TIN-64,
 # with the two candidate kernels ON
