@@ -103,3 +103,19 @@ def test_export_roundtrip(predictor, tmp_path):
         bogus = tmp_path / "bogus.ogvt"
         bogus.write_bytes(b"NOPE")
         load_predictor(str(bogus))
+
+
+def test_export_cross_platform(predictor, tmp_path):
+    """An artifact lowered for BOTH tpu and cpu (export on the dev box,
+    deploy on TPU) must still execute on the cpu host and agree."""
+    from outgridvit_tpu.serving import export_predictor, load_predictor
+
+    path = tmp_path / "xplat.ogvt"
+    export_predictor(predictor, str(path), platforms=["tpu", "cpu"])
+    loaded = load_predictor(str(path))
+    x = np.random.default_rng(6).integers(0, 255, (2, 8, 8, 3),
+                                          dtype=np.uint8)
+    l1, p1 = predictor.predict(x)
+    l2, p2 = loaded.predict(x)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_allclose(p1, p2, rtol=1e-6, atol=1e-6)
