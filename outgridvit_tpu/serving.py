@@ -71,10 +71,16 @@ def build_predictor(
     mean: Sequence[float] = (0.5071, 0.4867, 0.4408),
     std: Sequence[float] = (0.2675, 0.2565, 0.2761),
     dtype=None,
+    mesh=None,
 ) -> Predictor:
     """Build a jitted predictor from a model config and either live
     ``variables`` or a ``checkpoint`` path (msgpack, as written by the
-    trainer; eval-only restore via ``load_model_variables``)."""
+    trainer; eval-only restore via ``load_model_variables``).
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis shards the
+    request batch over devices (``batch_size`` must divide by the data
+    axis); GSPMD handles the rest — serving scales the same way training
+    does."""
     import jax
     import jax.numpy as jnp
 
@@ -103,7 +109,19 @@ def build_predictor(
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return jnp.argmax(probs, axis=-1).astype(jnp.int32), probs
 
-    return Predictor(fn=jax.jit(infer), batch_size=batch_size,
+    if mesh is not None:
+        from outgridvit_tpu.parallel import batch_sharding
+
+        shard = batch_sharding(mesh)
+        if batch_size % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over the data axis "
+                f"({mesh.shape['data']} devices)")
+        jitted = jax.jit(infer, in_shardings=shard,
+                         out_shardings=(shard, shard))
+    else:
+        jitted = jax.jit(infer)
+    return Predictor(fn=jitted, batch_size=batch_size,
                      img_size=img_size, num_classes=num_classes)
 
 

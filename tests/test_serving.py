@@ -119,3 +119,26 @@ def test_export_cross_platform(predictor, tmp_path):
     l2, p2 = loaded.predict(x)
     np.testing.assert_array_equal(l1, l2)
     np.testing.assert_allclose(p1, p2, rtol=1e-6, atol=1e-6)
+
+
+def test_predictor_on_data_mesh(predictor):
+    """A predictor sharded over an 8-device data mesh must agree with the
+    single-device one (serving scales like training: batch over `data`)."""
+    import jax
+
+    from outgridvit_tpu.parallel import make_mesh
+    from outgridvit_tpu.serving import build_predictor
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh((8, 1))
+    sharded = build_predictor(SMOKE_MODEL, batch_size=8, img_size=8,
+                              mean=(0.5,) * 3, std=(0.25,) * 3, mesh=mesh)
+    x = np.random.default_rng(7).integers(0, 255, (4, 8, 8, 3),
+                                          dtype=np.uint8)
+    l1, p1 = predictor.predict(x)
+    l2, p2 = sharded.predict(x)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-5)
+    with pytest.raises(ValueError, match="divide"):
+        build_predictor(SMOKE_MODEL, batch_size=6, img_size=8, mesh=mesh)
