@@ -42,6 +42,11 @@ class Predictor:
         import jax
 
         images = np.asarray(images)
+        if not np.issubdtype(images.dtype, np.integer):
+            raise ValueError(
+                f"images must be raw uint8 pixels (got {images.dtype}); "
+                "normalization happens in-jit — pre-normalized floats "
+                "would truncate to zeros")
         if images.ndim == 3:
             images = images[None]
         n = images.shape[0]
@@ -72,6 +77,7 @@ def build_predictor(
     std: Sequence[float] = (0.2675, 0.2565, 0.2761),
     dtype=None,
     mesh=None,
+    use_pallas=None,
 ) -> Predictor:
     """Build a jitted predictor from a model config and either live
     ``variables`` or a ``checkpoint`` path (msgpack, as written by the
@@ -80,15 +86,23 @@ def build_predictor(
     ``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis shards the
     request batch over devices (``batch_size`` must divide by the data
     axis); GSPMD handles the rest — serving scales the same way training
-    does."""
+    does.
+
+    ``use_pallas=False`` builds the portable XLA-only compute path —
+    REQUIRED when exporting for a platform other than the current backend
+    (Pallas custom calls traced on TPU cannot lower for cpu)."""
     import jax
     import jax.numpy as jnp
 
     from outgridvit_tpu.models import build_model
     from outgridvit_tpu.ops.augment import normalize_batch
 
+    if variables is not None and checkpoint:
+        raise ValueError(
+            "pass either live variables or a checkpoint path, not both "
+            "(the checkpoint would be silently ignored)")
     dtype = dtype or jnp.bfloat16
-    model = build_model(model_cfg, dtype=dtype)
+    model = build_model(model_cfg, dtype=dtype, use_pallas=use_pallas)
     if variables is None:
         x0 = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)

@@ -44,6 +44,7 @@ def main() -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    import jax
     import numpy as np
 
     from outgridvit_tpu.serving import (
@@ -51,15 +52,43 @@ def main() -> int:
         export_predictor,
         load_predictor,
     )
-    from outgridvit_tpu.data.datasets import CIFAR100_MEAN, CIFAR100_STD
+    from outgridvit_tpu.data import datasets as D
 
+    # the artifact bakes the normalization in: the stats MUST match what
+    # the model was trained with — derive them from the config's dataset
+    # (same mapping as the loaders), never a silent cross-dataset default
+    stats = {
+        "cifar100": (D.CIFAR100_MEAN, D.CIFAR100_STD),
+        "svhn": (D.SVHN_MEAN, D.SVHN_STD),
+        "tinyimagenet200": (D.IMAGENET_MEAN, D.IMAGENET_STD),
+        "food101": (D.IMAGENET_MEAN, D.IMAGENET_STD),
+        "pets": (D.IMAGENET_MEAN, D.IMAGENET_STD),
+        "synthetic": ((0.5,) * 3, (0.25,) * 3),
+    }
     data_cfg = cfg.get("data", {})
+    if "mean" in data_cfg and "std" in data_cfg:
+        mean, std = data_cfg["mean"], data_cfg["std"]
+    else:
+        dataset = str(data_cfg.get("dataset", "")).lower()
+        if dataset not in stats:
+            ap.error(f"unknown dataset {dataset!r}: set data.mean/data.std "
+                     "in the config so the artifact bakes the right "
+                     "normalization")
+        mean, std = stats[dataset]
+
+    # Pallas custom calls traced on one backend cannot lower for another;
+    # a multi/foreign-platform export must use the portable XLA path
+    use_pallas = None
+    if args.platforms and set(args.platforms) != {jax.default_backend()}:
+        use_pallas = False
+        print(f"portable export for {args.platforms}: XLA-only compute "
+              "path (Pallas kernels are backend-specific)")
+
     img = int(data_cfg.get("img_size", 32))
     pred = build_predictor(
         cfg["model"], checkpoint=args.checkpoint,
         batch_size=args.batch_size, img_size=img,
-        mean=data_cfg.get("mean", CIFAR100_MEAN),
-        std=data_cfg.get("std", CIFAR100_STD))
+        mean=mean, std=std, use_pallas=use_pallas)
     export_predictor(pred, args.out, platforms=args.platforms)
     print(f"Exported {args.out} "
           f"({Path(args.out).stat().st_size / 1e6:.1f} MB, "

@@ -142,3 +142,15 @@ def test_predictor_on_data_mesh(predictor):
     np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-5)
     with pytest.raises(ValueError, match="divide"):
         build_predictor(SMOKE_MODEL, batch_size=6, img_size=8, mesh=mesh)
+
+
+def test_predictor_rejects_float_images_and_both_sources(predictor):
+    x = np.random.default_rng(8).random((2, 8, 8, 3), dtype=np.float32)
+    with pytest.raises(ValueError, match="raw uint8"):
+        predictor.predict(x)
+
+    from outgridvit_tpu.serving import build_predictor
+
+    with pytest.raises(ValueError, match="not both"):
+        build_predictor(SMOKE_MODEL, variables={"params": {}},
+                        checkpoint="x.ckpt")
