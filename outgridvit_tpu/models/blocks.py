@@ -206,6 +206,21 @@ class MultiHeadSelfAttention(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            # A/B knob: OUTGRIDVIT_ATTN_XLA_N=<thr> routes grids of
+            # N >= thr to the plain XLA batched-einsum path — at the 64px
+            # configs' N=64 stages the per-grid [64, hd]x[hd, 64] dots are
+            # MXU-reasonable for XLA while the block-packed kernel pays
+            # group-minor<->row-major layout copies at its boundary
+            # (docs/PERFORMANCE.md round-3 64px tail)
+            import os
+
+            try:
+                thr = int(os.environ.get("OUTGRIDVIT_ATTN_XLA_N", "0"))
+            except ValueError:
+                thr = 0
+            if thr > 0 and N >= thr:
+                use_pallas = False
         dropout_active = self.attn_drop > 0.0 and not deterministic
         if use_pallas and not capture and not dropout_active:
             import os

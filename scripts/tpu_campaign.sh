@@ -52,6 +52,10 @@ run ab_outagg_flagship 2400 python scripts/ab_env.py \
   --config configs/cifar100_model_a_7m.yaml \
   --env OUTGRIDVIT_OUTAGG=1 --batch 128 --k 8 --legs 6 --steps 96
 
+run ab_attnxla64_tin64 2400 python scripts/ab_env.py \
+  --config configs/tinyimagenet200_model_a.yaml \
+  --env OUTGRIDVIT_ATTN_XLA_N=64 --batch 128 --k 8 --legs 6 --steps 48
+
 run ab_outaggv_tin64 2400 python scripts/ab_env.py \
   --config configs/tinyimagenet200_model_a.yaml \
   --env OUTGRIDVIT_OUTAGG=2 --batch 128 --k 8 --legs 6 --steps 48

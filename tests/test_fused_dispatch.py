@@ -144,3 +144,37 @@ def test_mlp_auto_mode_shape_keyed(monkeypatch, ln_params):
         assert calls and calls[0] == expect, (shape, calls)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-5, rtol=3e-5)
+
+
+def test_attn_xla_n_threshold_routes_to_xla(monkeypatch):
+    """OUTGRIDVIT_ATTN_XLA_N=<thr> must route N >= thr grids to the plain
+    XLA path (no Pallas kernel invoked) with unchanged outputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from outgridvit_tpu.models.blocks import MultiHeadSelfAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 32), jnp.float32)
+    m = MultiHeadSelfAttention(dim=32, num_heads=2, dtype=jnp.float32)
+    variables = m.init(jax.random.PRNGKey(1), x)
+    monkeypatch.delenv("OUTGRIDVIT_ATTN_XLA_N", raising=False)
+    want = m.apply(variables, x)  # cpu backend -> XLA path already
+
+    calls = []
+    import outgridvit_tpu.ops.grid_attention_pallas as gp
+    import outgridvit_tpu.ops.grid_attention_pallas_t as gt
+
+    def boom(*a, **k):
+        calls.append(1)
+        raise AssertionError("pallas kernel invoked above the threshold")
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(gp, "grid_mhsa_pallas", boom)
+    monkeypatch.setattr(gt, "grid_mhsa_pallas_t", boom)
+    monkeypatch.setattr(gt, "grid_mhsa_pallas_th", boom)
+    monkeypatch.setenv("OUTGRIDVIT_ATTN_XLA_N", "16")
+    got = m.apply(variables, x)
+    assert not calls
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
