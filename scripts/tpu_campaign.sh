@@ -32,6 +32,16 @@ _run() {
 
 run bench_default 1800 python bench.py
 
+# batch-size re-sweep with the current kernel set (the r2 sweep predates
+# the transposed kernels; VERDICT r2 item 2)
+run sweep_flagship 3000 python scripts/bench_config.py \
+  --config configs/cifar100_model_a_7m.yaml --batch 64 128 192 256 --k 8 \
+  --steps 96
+
+run sweep_tin64 3000 python scripts/bench_config.py \
+  --config configs/tinyimagenet200_model_a.yaml --batch 96 128 192 256 \
+  --k 8 --steps 48
+
 run ab_dwbwd_tin64 2400 python scripts/ab_env.py \
   --config configs/tinyimagenet200_model_a.yaml \
   --env OUTGRIDVIT_DW_BWD=1 --batch 128 --k 8 --legs 6 --steps 48
