@@ -23,7 +23,13 @@ def build_model(
     dtype: jnp.dtype = jnp.float32,
     use_pallas: Optional[bool] = None,
 ):
-    """Build a model module from a config dict. Returns the Flax module."""
+    """Build a model module from a config dict. Returns the Flax module.
+
+    ``model.use_pallas`` in the YAML overrides the ``use_pallas`` argument
+    (None = backend default; false = XLA-only portable path; kernel-mode
+    strings like "fused_agg" are passed through to the blocks)."""
+    if "use_pallas" in model_cfg:
+        use_pallas = model_cfg["use_pallas"]
     model_type = str(model_cfg.get("type", "model_a")).lower()
     stages = tuple(build_stages(model_cfg.get("stages", [])))
     down_cfg = DownsampleConfig.from_dict(model_cfg.get("downsample", {}) or {})
