@@ -66,6 +66,21 @@ class Predictor:
         labels, probs = jax.device_get((labels, probs))
         return np.asarray(labels)[:n], np.asarray(probs)[:n]
 
+    def predict_many(self, images: np.ndarray) -> Tuple[np.ndarray,
+                                                        np.ndarray]:
+        """Arbitrary request size: full chunks are dispatched back to back
+        (device queue overlaps transfer with compute); the ragged tail is
+        padded like :meth:`predict`."""
+        images = np.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        out_l, out_p = [], []
+        for i in range(0, len(images), self.batch_size):
+            lab, prob = self.predict(images[i:i + self.batch_size])
+            out_l.append(lab)
+            out_p.append(prob)
+        return np.concatenate(out_l), np.concatenate(out_p)
+
 
 def build_predictor(
     model_cfg: dict,

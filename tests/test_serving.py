@@ -154,3 +154,14 @@ def test_predictor_rejects_float_images_and_both_sources(predictor):
     with pytest.raises(ValueError, match="not both"):
         build_predictor(SMOKE_MODEL, variables={"params": {}},
                         checkpoint="x.ckpt")
+
+
+def test_predict_many_chunks_large_requests(predictor):
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 255, (10, 8, 8, 3), dtype=np.uint8)  # 2.5 batches
+    labels, probs = predictor.predict_many(x)
+    assert labels.shape == (10,) and probs.shape == (10, 10)
+    # chunking must agree with per-image predictions
+    l0, p0 = predictor.predict(x[4:5])
+    assert labels[4] == l0[0]
+    np.testing.assert_allclose(probs[4], p0[0], rtol=1e-5, atol=1e-6)
