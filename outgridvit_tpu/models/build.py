@@ -30,6 +30,11 @@ def build_model(
     strings like "fused_agg" are passed through to the blocks)."""
     if "use_pallas" in model_cfg:
         use_pallas = model_cfg["use_pallas"]
+    # per-block remat: model.remat YAML key > OUTGRIDVIT_REMAT env > off
+    from outgridvit_tpu.models.rematerialize import env_remat
+
+    remat = model_cfg.get("remat", env_remat())
+    remat = str(remat) if remat else None
     model_type = str(model_cfg.get("type", "model_a")).lower()
     stages = tuple(build_stages(model_cfg.get("stages", [])))
     down_cfg = DownsampleConfig.from_dict(model_cfg.get("downsample", {}) or {})
@@ -43,6 +48,7 @@ def build_model(
         down_cfg=down_cfg,
         dtype=dtype,
         use_pallas=use_pallas,
+        remat=remat,
     )
 
     if model_type in _MODEL_A_ALIASES:

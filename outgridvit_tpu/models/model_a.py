@@ -14,6 +14,7 @@ from flax import linen as nn
 
 from outgridvit_tpu.models.blocks import OutGridBlock
 from outgridvit_tpu.models.layers import BatchNorm, ConvStem, Downsample
+from outgridvit_tpu.models.rematerialize import maybe_remat
 from outgridvit_tpu.stage_config import DownsampleConfig, StageCfg, make_dpr
 
 Dtype = jnp.dtype
@@ -28,6 +29,9 @@ class MaxOutNet(nn.Module):
     down_cfg: DownsampleConfig = DownsampleConfig(kind="conv", act="silu", use_bn=True)
     use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
+    # per-block rematerialization policy name (models/rematerialize.py);
+    # None = save intermediates as usual
+    remat: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -46,13 +50,16 @@ class MaxOutNet(nn.Module):
         total_blocks = sum(s.depth for s in self.stages)
         dprs = make_dpr(total_blocks, self.dpr_max)
         idx = 0
+        # statics (train/deterministic/capture) are argnums 2..4 with the
+        # module at 0, so they must be passed positionally under remat
+        block_cls = maybe_remat(OutGridBlock, self.remat, (2, 3, 4))
         for si, scfg in enumerate(self.stages):
             for bi in range(scfg.depth):
                 bcfg = scfg.replace(drop_path=dprs[idx])
-                x = OutGridBlock(
+                x = block_cls(
                     cfg=bcfg, use_pallas=self.use_pallas, dtype=self.dtype,
                     name=f"stages_{si}_{bi}",
-                )(x, train=train, deterministic=deterministic, capture=capture)
+                )(x, train, deterministic, capture)
                 idx += 1
             if si < len(self.stages) - 1:
                 x = Downsample(

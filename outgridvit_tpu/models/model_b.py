@@ -14,6 +14,7 @@ from flax import linen as nn
 
 from outgridvit_tpu.models.blocks import GridOnlyBlock, OutlookerBlock2d
 from outgridvit_tpu.models.layers import BatchNorm, ConvStem, Downsample
+from outgridvit_tpu.models.rematerialize import maybe_remat
 from outgridvit_tpu.stage_config import DownsampleConfig, StageCfg, make_dpr
 
 Dtype = jnp.dtype
@@ -29,6 +30,8 @@ class OutlookerFrontGridNet(nn.Module):
     down_cfg: DownsampleConfig = DownsampleConfig(kind="conv", act="silu", use_bn=True)
     use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
+    # per-block rematerialization policy name (models/rematerialize.py)
+    remat: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -48,9 +51,12 @@ class OutlookerFrontGridNet(nn.Module):
         dprs = make_dpr(total_blocks, self.dpr_max)
         idx = 0
 
+        front_cls = maybe_remat(OutlookerBlock2d, self.remat, (2, 3))
+        stage_cls = maybe_remat(GridOnlyBlock, self.remat, (2, 3, 4))
+
         front_cfg = self.stages[0]
         for fi in range(self.outlooker_front_depth):
-            x = OutlookerBlock2d(
+            x = front_cls(
                 dim=front_cfg.dim,
                 num_heads=front_cfg.outlook_heads,
                 kernel_size=front_cfg.outlook_kernel,
@@ -64,16 +70,16 @@ class OutlookerFrontGridNet(nn.Module):
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"front_{fi}",
-            )(x, deterministic=deterministic, capture=capture)
+            )(x, deterministic, capture)
             idx += 1
 
         for si, scfg in enumerate(self.stages):
             for bi in range(scfg.depth):
                 bcfg = scfg.replace(drop_path=dprs[idx])
-                x = GridOnlyBlock(
+                x = stage_cls(
                     cfg=bcfg, use_pallas=self.use_pallas, dtype=self.dtype,
                     name=f"stages_{si}_{bi}",
-                )(x, train=train, deterministic=deterministic, capture=capture)
+                )(x, train, deterministic, capture)
                 idx += 1
             if si < len(self.stages) - 1:
                 x = Downsample(
