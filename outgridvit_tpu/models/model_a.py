@@ -14,7 +14,7 @@ from flax import linen as nn
 
 from outgridvit_tpu.models.blocks import OutGridBlock
 from outgridvit_tpu.models.layers import BatchNorm, ConvStem, Downsample
-from outgridvit_tpu.models.rematerialize import maybe_remat
+from outgridvit_tpu.models.rematerialize import env_remat, maybe_remat
 from outgridvit_tpu.stage_config import DownsampleConfig, StageCfg, make_dpr
 
 Dtype = jnp.dtype
@@ -51,8 +51,11 @@ class MaxOutNet(nn.Module):
         dprs = make_dpr(total_blocks, self.dpr_max)
         idx = 0
         # statics (train/deterministic/capture) are argnums 2..4 with the
-        # module at 0, so they must be passed positionally under remat
-        block_cls = maybe_remat(OutGridBlock, self.remat, (2, 3, 4))
+        # module at 0, so they must be passed positionally under remat.
+        # env_remat() is a trace-time fallback so env-toggle A/B harnesses
+        # (scripts/ab_env.py) can flip remat without rebuilding the model.
+        block_cls = maybe_remat(OutGridBlock, self.remat or env_remat(),
+                                (2, 3, 4))
         for si, scfg in enumerate(self.stages):
             for bi in range(scfg.depth):
                 bcfg = scfg.replace(drop_path=dprs[idx])

@@ -14,7 +14,7 @@ from flax import linen as nn
 
 from outgridvit_tpu.models.blocks import GridOnlyBlock, OutlookerBlock2d
 from outgridvit_tpu.models.layers import BatchNorm, ConvStem, Downsample
-from outgridvit_tpu.models.rematerialize import maybe_remat
+from outgridvit_tpu.models.rematerialize import env_remat, maybe_remat
 from outgridvit_tpu.stage_config import DownsampleConfig, StageCfg, make_dpr
 
 Dtype = jnp.dtype
@@ -51,8 +51,10 @@ class OutlookerFrontGridNet(nn.Module):
         dprs = make_dpr(total_blocks, self.dpr_max)
         idx = 0
 
-        front_cls = maybe_remat(OutlookerBlock2d, self.remat, (2, 3))
-        stage_cls = maybe_remat(GridOnlyBlock, self.remat, (2, 3, 4))
+        # env_remat() is a trace-time fallback (see model_a.py)
+        remat = self.remat or env_remat()
+        front_cls = maybe_remat(OutlookerBlock2d, remat, (2, 3))
+        stage_cls = maybe_remat(GridOnlyBlock, remat, (2, 3, 4))
 
         front_cfg = self.stages[0]
         for fi in range(self.outlooker_front_depth):

@@ -91,6 +91,28 @@ def test_remat_yaml_and_env(monkeypatch):
     assert env_remat() is None
 
 
+def _jaxpr_has_remat(model, x):
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(1), x)
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), variables)
+    jaxpr = jax.make_jaxpr(lambda v: model.apply(v, x))(variables)
+    return any(e.primitive.name == "remat2" for e in jaxpr.eqns)
+
+
+def test_remat_env_applies_at_trace_time(monkeypatch):
+    """A/B harnesses (scripts/ab_env.py) toggle env vars around each
+    side's first trace; remat must honor OUTGRIDVIT_REMAT then, not only
+    at build_model time."""
+    x = jnp.zeros((1, 8, 8, 3))
+    model = MaxOutNet(num_classes=10, stages=tiny_stages()[:1], stem_dim=8,
+                      dpr_max=0.0, use_pallas=False)
+    assert model.remat is None
+    monkeypatch.delenv("OUTGRIDVIT_REMAT", raising=False)
+    assert not _jaxpr_has_remat(model, x)
+    monkeypatch.setenv("OUTGRIDVIT_REMAT", "dots")
+    assert _jaxpr_has_remat(model, x)
+
+
 def test_remat_policy_names():
     assert remat_policy("nothing") is None
     assert remat_policy("dots") is jax.checkpoint_policies.dots_saveable
