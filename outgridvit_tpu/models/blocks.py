@@ -233,6 +233,20 @@ class MultiHeadSelfAttention(nn.Module):
             # kept as an opt-in (OUTGRIDVIT_FUSED_ATTN=1) for wide-C models.
             fuse_branch = os.environ.get("OUTGRIDVIT_FUSED_ATTN") in (
                 "1", "true")
+            if not fuse_branch:
+                # Shape-keyed variant: fuse only grids of N >= thr tokens.
+                # At the 64px configs' N=64 stage the unfused path pays
+                # three full HBM round-trips between the qkv dot and the
+                # attention kernel (LN convert, bias add, kernel read —
+                # profiled ~1.2-1.5 ms each at stage-0 shapes) that the
+                # branch kernel collapses to x-in/y-out, while the N<=16
+                # stages keep the winning lane-batched t-kernels.
+                try:
+                    thr_f = int(
+                        os.environ.get("OUTGRIDVIT_FUSED_ATTN_N", "0"))
+                except ValueError:
+                    thr_f = 0
+                fuse_branch = thr_f > 0 and N >= thr_f
             if fuse_branch:
                 from outgridvit_tpu.ops.attn_branch_pallas import (
                     attn_branch_pallas,

@@ -178,3 +178,42 @@ def test_attn_xla_n_threshold_routes_to_xla(monkeypatch):
     assert not calls
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_fused_attn_n_threshold_dispatch(monkeypatch, ln_params):
+    """OUTGRIDVIT_FUSED_ATTN_N=<thr>: grids of N >= thr run the fused
+    branch kernel, N < thr keep the core-kernel path; same math."""
+    import outgridvit_tpu.ops.attn_branch_pallas as bp
+
+    ls, lb = ln_params
+    m_xla = MultiHeadSelfAttention(dim=48, num_heads=2, use_pallas=False)
+    m_pal = MultiHeadSelfAttention(dim=48, num_heads=2, use_pallas=True)
+
+    calls = []
+    real = bp.attn_branch_pallas
+    monkeypatch.setattr(
+        bp, "attn_branch_pallas",
+        lambda *a, **k: calls.append(1) or real(*a, **k))
+    monkeypatch.delenv("OUTGRIDVIT_FUSED_ATTN", raising=False)
+    monkeypatch.setenv("OUTGRIDVIT_FUSED_ATTN_N", "8")
+
+    # N=8 >= thr: fused branch kernel
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 8, 48))
+    v = m_xla.init(jax.random.PRNGKey(1), x)
+    want = m_xla.apply(v, x, ln=(ls, lb, 1e-5))
+    with pltpu.force_tpu_interpret_mode():
+        got = m_pal.apply(v, x, ln=(ls, lb, 1e-5))
+    assert calls
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+    # N=4 < thr: core path, no branch kernel
+    calls.clear()
+    x4 = jax.random.normal(jax.random.PRNGKey(2), (8, 4, 48))
+    v4 = m_xla.init(jax.random.PRNGKey(1), x4)
+    want4 = m_xla.apply(v4, x4, ln=(ls, lb, 1e-5))
+    with pltpu.force_tpu_interpret_mode():
+        got4 = m_pal.apply(v4, x4, ln=(ls, lb, 1e-5))
+    assert not calls
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(want4),
+                               atol=3e-5, rtol=3e-5)
