@@ -234,19 +234,34 @@ class MultiHeadSelfAttention(nn.Module):
             fuse_branch = os.environ.get("OUTGRIDVIT_FUSED_ATTN") in (
                 "1", "true")
             if not fuse_branch:
-                # Shape-keyed variant: fuse only grids of N >= thr tokens.
-                # At the 64px configs' N=64 stage the unfused path pays
-                # three full HBM round-trips between the qkv dot and the
-                # attention kernel (LN convert, bias add, kernel read —
-                # profiled ~1.2-1.5 ms each at stage-0 shapes) that the
-                # branch kernel collapses to x-in/y-out, while the N<=16
-                # stages keep the winning lane-batched t-kernels.
-                try:
-                    thr_f = int(
-                        os.environ.get("OUTGRIDVIT_FUSED_ATTN_N", "0"))
-                except ValueError:
-                    thr_f = 0
+                # Shape-keyed dispatch (default): grids of N >= 64 tokens
+                # run the fused branch kernel. At those shapes the unfused
+                # path pays three full HBM round-trips between the qkv dot
+                # and the attention kernel (LN convert, bias add, kernel
+                # read — profiled ~1.2-1.5 ms each at 64px stage-0) that
+                # the branch kernel collapses to x-in/y-out: same-window
+                # A/B +4.6% on TIN-64 (docs/PERFORMANCE.md round 3). The
+                # N<=16 stages keep the winning lane-batched t-kernels.
+                # OUTGRIDVIT_FUSED_ATTN_N overrides the threshold (0 = off);
+                # feasibility comes from a cached compile-probe of the
+                # exact shape.
+                thr_env = os.environ.get("OUTGRIDVIT_FUSED_ATTN_N",
+                                         "").strip()
+                if thr_env:
+                    try:
+                        thr_f = int(thr_env)
+                    except ValueError:
+                        thr_f = 0
+                else:
+                    thr_f = 64
                 fuse_branch = thr_f > 0 and N >= thr_f
+                if fuse_branch:
+                    from outgridvit_tpu.ops.attn_branch_pallas import (
+                        attn_branch_feasible,
+                    )
+
+                    fuse_branch = attn_branch_feasible(
+                        B, N, C, heads, jnp.dtype(dt).name, ln is not None)
             if fuse_branch:
                 from outgridvit_tpu.ops.attn_branch_pallas import (
                     attn_branch_pallas,

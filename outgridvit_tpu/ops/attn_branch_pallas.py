@@ -232,6 +232,40 @@ def _prep(x, heads):
     return C, scale, G, PN, mask
 
 
+def attn_branch_feasible(Bgrp: int, N: int, C: int, heads: int,
+                         dtype_str: str = "bfloat16",
+                         apply_ln: bool = True) -> bool:
+    """True iff the fused branch kernel COMPILES — forward and backward —
+    for this exact token shape on the current backend (same cached
+    compile-probe discipline as ``attn_kernel_feasible``: the verdict
+    comes from the compiler, not a VMEM heuristic)."""
+    from outgridvit_tpu.ops.probe_cache import cached_probe
+
+    if jax.default_backend() != "tpu":
+        return True  # interpret/test paths have no scoped-VMEM ceiling
+    dt = jnp.dtype(dtype_str)
+
+    def loss(x, ls, lb, wqkv, bqkv, wp, bp):
+        y = attn_branch_pallas(x, ls, lb, wqkv, bqkv, wp, bp, heads,
+                               1e-5, apply_ln)
+        return jnp.sum(y.astype(jnp.float32))
+
+    specs = (
+        jax.ShapeDtypeStruct((Bgrp, N, C), dt),
+        jax.ShapeDtypeStruct((C,), jnp.float32),
+        jax.ShapeDtypeStruct((C,), jnp.float32),
+        jax.ShapeDtypeStruct((C, 3 * C), dt),
+        jax.ShapeDtypeStruct((3 * C,), dt),
+        jax.ShapeDtypeStruct((C, C), dt),
+        jax.ShapeDtypeStruct((C,), dt),
+    )
+    return cached_probe(
+        f"tpu:branch:{Bgrp}:{N}:{C}:{heads}:{dtype_str}:{int(apply_ln)}",
+        lambda: jax.jit(
+            jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5, 6))
+        ).lower(*specs).compile())
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def attn_branch_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                        heads: int, eps: float = 1e-5,

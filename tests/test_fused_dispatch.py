@@ -217,3 +217,40 @@ def test_fused_attn_n_threshold_dispatch(monkeypatch, ln_params):
     assert not calls
     np.testing.assert_allclose(np.asarray(got4), np.asarray(want4),
                                atol=3e-5, rtol=3e-5)
+
+
+def test_fused_attn_default_threshold_64(monkeypatch, ln_params):
+    """Default dispatch (no env): N >= 64 grids run the fused branch
+    kernel (probe-gated; trivially feasible off-TPU), N < 64 do not.
+    OUTGRIDVIT_FUSED_ATTN_N=0 disables the default."""
+    import outgridvit_tpu.ops.attn_branch_pallas as bp
+
+    ls, lb = ln_params
+    m_xla = MultiHeadSelfAttention(dim=48, num_heads=2, use_pallas=False)
+    m_pal = MultiHeadSelfAttention(dim=48, num_heads=2, use_pallas=True)
+
+    calls = []
+    real = bp.attn_branch_pallas
+    monkeypatch.setattr(
+        bp, "attn_branch_pallas",
+        lambda *a, **k: calls.append(1) or real(*a, **k))
+    monkeypatch.delenv("OUTGRIDVIT_FUSED_ATTN", raising=False)
+    monkeypatch.delenv("OUTGRIDVIT_FUSED_ATTN_N", raising=False)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 48))
+    v = m_xla.init(jax.random.PRNGKey(1), x)
+    want = m_xla.apply(v, x, ln=(ls, lb, 1e-5))
+    with pltpu.force_tpu_interpret_mode():
+        got = m_pal.apply(v, x, ln=(ls, lb, 1e-5))
+    assert calls, "N=64 must take the fused branch kernel by default"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=5e-5)
+
+    # threshold=0 turns the default off
+    calls.clear()
+    monkeypatch.setenv("OUTGRIDVIT_FUSED_ATTN_N", "0")
+    with pltpu.force_tpu_interpret_mode():
+        got_off = m_pal.apply(v, x, ln=(ls, lb, 1e-5))
+    assert not calls
+    np.testing.assert_allclose(np.asarray(got_off), np.asarray(want),
+                               atol=5e-5, rtol=5e-5)
