@@ -155,6 +155,9 @@ def main() -> int:
     ap.add_argument("--config", required=True)
     ap.add_argument("--batch", type=int, nargs="+", default=[64, 128, 256])
     ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--ks", type=int, nargs="+", default=None,
+                    help="sweep the scan-dispatch depth K at the first "
+                    "--batch size (one process, same window)")
     ap.add_argument("--steps", type=int, default=96,
                     help="measured single steps per batch size")
     ap.add_argument("--img-size", type=int, default=None)
@@ -179,6 +182,44 @@ def main() -> int:
     else:
         step_fn = make_train_step(ctx.step_cfg, lr_schedule=ctx.schedule)
         bshard = batch_sharding(ctx.mesh)
+
+    if args.ks:
+        # K sweep: fixed batch (first --batch), one jitted superstep whose
+        # scan depth is a trace-time property of the (k, bs) batch shape.
+        bs = args.batch[0]
+        results = {}
+        for kk in args.ks:
+            kk = max(1, kk)
+            fn = (make_train_superstep(ctx.step_cfg,
+                                       lr_schedule=ctx.schedule)
+                  if kk > 1 else
+                  make_train_step(ctx.step_cfg, lr_schedule=ctx.schedule))
+            shard = (superbatch_sharding(ctx.mesh) if kk > 1
+                     else batch_sharding(ctx.mesh))
+            state = ctx.fresh_state()
+            batches = ctx.make_batches((kk, bs) if kk > 1 else (bs,), shard)
+            base = jax.random.PRNGKey(2)
+            n_disp = max(1, args.steps // kk)
+            try:
+                for i in range(max(1, 16 // kk)):
+                    state, m = fn(state, batches[i % 4], base)
+                hard_sync(state, m)
+            except Exception as e:  # noqa: BLE001
+                print(f"[bench_config] k={kk} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:300]}", file=sys.stderr)
+                results[kk] = None
+                continue
+            t0 = time.perf_counter()
+            for i in range(n_disp):
+                state, m = fn(state, batches[i % 4], base)
+            hard_sync(state, m)
+            dt = time.perf_counter() - t0
+            rate = bs * kk * n_disp / dt
+            results[kk] = round(rate, 1)
+            print(f"[bench_config] k={kk}: {rate:.1f} imgs/s", file=sys.stderr)
+        print(json.dumps({"config": args.config, "img_size": img, "bs": bs,
+                          "k_sweep": results}))
+        return 0
 
     results = {}
     for bs in args.batch:
