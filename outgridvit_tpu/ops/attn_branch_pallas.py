@@ -201,6 +201,18 @@ def _bwd_kernel(mask_ref, x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
         dx_ref[...] = dxn2.reshape(gt, PN, C).astype(cdt)
 
 
+def _env_kib(name: str, default_kib: int) -> int:
+    """VMEM budget override in KiB (A/B knob, same family as
+    OUTGRIDVIT_ATTN_FWD_KIB): larger tiles amortize the resident weight
+    blocks over more grids per program."""
+    import os
+
+    try:
+        return int(os.environ.get(name, default_kib))
+    except ValueError:
+        return default_kib
+
+
 def _pick_tile_branch(G: int, PN: int, C: int, dtype, fixed_bytes: int,
                       vmem_budget: int, fp32_factor: int):
     """Tile over the packed-group dim. ``fixed_bytes`` covers weight blocks +
@@ -285,8 +297,10 @@ def _branch_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, heads, eps,
     Bgrp, N, C = x.shape
     _, scale, G, PN, mask = _prep(x, heads)
     fixed = C * 3 * C * wqkv.dtype.itemsize + C * C * wproj.dtype.itemsize
-    gt = _pick_tile_branch(G, PN, C, x.dtype, fixed,
-                           vmem_budget=3 * 1024 * 1024, fp32_factor=3)
+    gt = _pick_tile_branch(
+        G, PN, C, x.dtype, fixed,
+        vmem_budget=_env_kib("OUTGRIDVIT_BRANCH_FWD_KIB", 3072) * 1024,
+        fp32_factor=3)
     x2 = x.reshape(G, PN, C)
     ls2 = ln_scale.reshape(1, C).astype(jnp.float32)
     lb2 = ln_bias.reshape(1, C).astype(jnp.float32)
@@ -328,8 +342,10 @@ def _branch_bwd(heads, eps, apply_ln, res, dy):
     _, scale, G, PN, mask = _prep(x, heads)
     fixed = (C * 3 * C * (wqkv.dtype.itemsize + 4)
              + C * C * (wproj.dtype.itemsize + 4))
-    gt = _pick_tile_branch(G, PN, C, x.dtype, fixed,
-                           vmem_budget=2 * 1024 * 1024, fp32_factor=8)
+    gt = _pick_tile_branch(
+        G, PN, C, x.dtype, fixed,
+        vmem_budget=_env_kib("OUTGRIDVIT_BRANCH_BWD_KIB", 2048) * 1024,
+        fp32_factor=8)
     x2 = x.reshape(G, PN, C)
     dy2 = dy.reshape(G, PN, C)
     ls2 = ln_scale.reshape(1, C).astype(jnp.float32)
