@@ -41,7 +41,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--env", required=True,
-                    help="KEY=VAL set only for the B-side trace")
+                    help="KEY=VAL (comma-separated pairs allowed) set "
+                    "only for the B-side trace")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--legs", type=int, default=6,
@@ -50,9 +51,12 @@ def main() -> int:
                     help="single steps per leg")
     ap.add_argument("--img-size", type=int, default=None)
     args = ap.parse_args()
-    key, _, val = args.env.partition("=")
-    if not val:
-        ap.error("--env must be KEY=VAL")
+    pairs = []
+    for item in args.env.split(","):
+        key, _, val = item.partition("=")
+        if not val:
+            ap.error("--env must be KEY=VAL[,KEY=VAL...]")
+        pairs.append((key, val))
 
     import jax
 
@@ -80,29 +84,31 @@ def main() -> int:
                 make_train_step(ctx.step_cfg, lr_schedule=ctx.schedule))
 
     sides = {"A": make(), "B": make()}
-    side_env = {"A": None, "B": val}
+    side_env = {"A": False, "B": True}
     states = {name: ctx.fresh_state() for name in sides}
 
     base = jax.random.PRNGKey(2)
     n_disp = max(1, args.steps // k)
     for name in ("A", "B"):
-        saved = os.environ.get(key)
-        if side_env[name] is None:
-            os.environ.pop(key, None)
-        else:
-            os.environ[key] = side_env[name]
+        saved = {key: os.environ.get(key) for key, _ in pairs}
+        for key, val in pairs:
+            if side_env[name]:
+                os.environ[key] = val
+            else:
+                os.environ.pop(key, None)
         try:
             t0 = time.perf_counter()
             st, m = sides[name](states[name], batches[0], base)
             states[name] = st
             hard_sync(st, m)
         finally:
-            if saved is None:
-                os.environ.pop(key, None)
-            else:
-                os.environ[key] = saved
+            for key, old in saved.items():
+                if old is None:
+                    os.environ.pop(key, None)
+                else:
+                    os.environ[key] = old
         print(f"[ab_env] warmup {name} "
-              f"({key}={'unset' if side_env[name] is None else val}) "
+              f"({args.env if side_env[name] else 'unset'}) "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     rates = {"A": [], "B": []}
