@@ -272,7 +272,9 @@ def attn_branch_feasible(Bgrp: int, N: int, C: int, heads: int,
         jax.ShapeDtypeStruct((C,), dt),
     )
     return cached_probe(
-        f"tpu:branch:{Bgrp}:{N}:{C}:{heads}:{dtype_str}:{int(apply_ln)}",
+        f"tpu:branch:{Bgrp}:{N}:{C}:{heads}:{dtype_str}:{int(apply_ln)}:"
+        f"{_env_kib('OUTGRIDVIT_BRANCH_FWD_KIB', 3072)}:"
+        f"{_env_kib('OUTGRIDVIT_BRANCH_BWD_KIB', 6144)}",
         lambda: jax.jit(
             jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5, 6))
         ).lower(*specs).compile())
@@ -344,7 +346,7 @@ def _branch_bwd(heads, eps, apply_ln, res, dy):
              + C * C * (wproj.dtype.itemsize + 4))
     gt = _pick_tile_branch(
         G, PN, C, x.dtype, fixed,
-        vmem_budget=_env_kib("OUTGRIDVIT_BRANCH_BWD_KIB", 2048) * 1024,
+        vmem_budget=_env_kib("OUTGRIDVIT_BRANCH_BWD_KIB", 6144) * 1024,
         fp32_factor=8)
     x2 = x.reshape(G, PN, C)
     dy2 = dy.reshape(G, PN, C)
