@@ -247,13 +247,17 @@ class MultiHeadSelfAttention(nn.Module):
                 # exact shape.
                 thr_env = os.environ.get("OUTGRIDVIT_FUSED_ATTN_N",
                                          "").strip()
+                thr_f = 64
                 if thr_env:
                     try:
                         thr_f = int(thr_env)
                     except ValueError:
-                        thr_f = 0
-                else:
-                    thr_f = 64
+                        import warnings
+
+                        warnings.warn(
+                            "OUTGRIDVIT_FUSED_ATTN_N="
+                            f"{thr_env!r} is not an int; using the "
+                            "default threshold 64 (set 0 to disable)")
                 fuse_branch = thr_f > 0 and N >= thr_f
                 if fuse_branch:
                     from outgridvit_tpu.ops.attn_branch_pallas import (

@@ -33,8 +33,16 @@ def build_model(
     # per-block remat: model.remat YAML key > OUTGRIDVIT_REMAT env > off
     from outgridvit_tpu.models.rematerialize import env_remat
 
-    remat = model_cfg.get("remat", env_remat())
-    remat = str(remat) if remat else None
+    if "remat" in model_cfg:
+        # An explicit YAML key always wins over the ambient env var: a falsy
+        # value (remat: false / '' / 0 / null) becomes the truthy 'off'
+        # sentinel so the models' trace-time env_remat() fallback cannot
+        # re-enable it (models/rematerialize.py).
+        v = model_cfg["remat"]
+        remat = str(v) if v else "off"
+    else:
+        remat = env_remat()
+        remat = str(remat) if remat else None
     model_type = str(model_cfg.get("type", "model_a")).lower()
     stages = tuple(build_stages(model_cfg.get("stages", [])))
     down_cfg = DownsampleConfig.from_dict(model_cfg.get("downsample", {}) or {})

@@ -19,6 +19,10 @@ Select with the ``model.remat`` YAML key or ``OUTGRIDVIT_REMAT``:
   - ``dots``     — save matmul/conv outputs, recompute elementwise chains
   - ``dots_no_batch`` — save only matmul outputs with no batch dims
     (weight-shaped tensors); activations recomputed
+  - ``off``      — explicitly disabled. A falsy YAML value (``remat:
+    false`` / ``''`` / ``0`` / ``null``) resolves to this sentinel, so
+    the config can force remat off even when an ambient
+    ``OUTGRIDVIT_REMAT`` is set (the YAML key always wins).
 """
 
 from __future__ import annotations
@@ -54,6 +58,12 @@ def env_remat() -> Optional[str]:
     return v if v and v != "0" else None
 
 
+# Values of the YAML/env knob that mean "explicitly disabled". "off" is a
+# truthy string, so it survives the models' trace-time `self.remat or
+# env_remat()` fallback and still disables remat here.
+_OFF_SENTINELS = frozenset({"off", "none", "false", "0", ""})
+
+
 def maybe_remat(block_cls, remat: Optional[str], static_argnums):
     """Wrap a linen block class in lifted remat when ``remat`` is set.
 
@@ -61,7 +71,7 @@ def maybe_remat(block_cls, remat: Optional[str], static_argnums):
     itself at 0 (so the first static bool after ``x`` is 2); callers must
     pass those args positionally.
     """
-    if not remat:
+    if not remat or str(remat).strip().lower() in _OFF_SENTINELS:
         return block_cls
     return nn.remat(
         block_cls,

@@ -60,11 +60,29 @@ def _probe_disk_save(key: str, ok: bool) -> None:
         pass  # read-only FS etc.: in-process cache still holds the verdict
 
 
+def _device_kind_tag() -> str:
+    """Normalized device kind of the default backend (e.g. 'TPU-v5-lite').
+
+    VMEM ceilings differ across TPU generations, so a feasibility verdict
+    cached on one generation must not be reused on another through the
+    shared on-disk cache. Keying every probe on the device kind (added
+    here centrally rather than in each ``*_feasible`` gate) makes
+    verdicts per-generation."""
+    try:
+        import jax
+
+        return str(jax.devices()[0].device_kind).replace(" ", "-")
+    except Exception:  # backend not initialized / no devices
+        return "unknown"
+
+
 def cached_probe(key: str, compile_fn) -> bool:
     """Disk-cached compile probe: returns the cached verdict for ``key``
     or runs ``compile_fn()`` (which must raise on infeasible shapes),
     records and returns the outcome. Used by every kernel family's
-    ``*_feasible`` dispatch gate."""
+    ``*_feasible`` dispatch gate. The key is automatically suffixed with
+    the device kind so verdicts are per TPU generation."""
+    key = f"{key}:{_device_kind_tag()}"
     disk = _probe_disk_load()
     if key in disk:
         return bool(disk[key])

@@ -163,8 +163,18 @@ def train_model(
     if getattr(model, "dtype", None) != compute_dtype:
         model = model.clone(dtype=compute_dtype)
 
-    # ---- init state from the first batch's shapes
-    first = next(iter(train_loader))
+    # ---- init state from the first batch's shapes. The peeked batch is
+    # re-queued as the first training batch when the loader hands out a
+    # one-shot iterator (iter(loader) returning the same object), so no
+    # batch is silently dropped; a re-iterable loader (ArrayDataLoader)
+    # simply gets a fresh iterator per epoch and the peek costs nothing.
+    import itertools
+
+    _peek_iter = iter(train_loader)
+    first = next(_peek_iter)
+    _requeue = (
+        [(first, _peek_iter)] if iter(train_loader) is _peek_iter else []
+    )
     x0, y0 = first
     bs0 = x0.shape[0]
     img_shape = (bs0, x0.shape[3], x0.shape[1], x0.shape[2])  # print as NCHW
@@ -332,13 +342,18 @@ def train_model(
                 )
                 device_metrics = []
 
+        if _requeue:  # one-shot iterator: replay the shape-peeked batch
+            fb, it0 = _requeue.pop()
+            epoch_iter = itertools.chain([fb], it0)
+        else:
+            epoch_iter = iter(train_loader)
         if kdisp > 1:
-            host_iter = _group_batches(iter(train_loader), kdisp, bs0)
+            host_iter = _group_batches(epoch_iter, kdisp, bs0)
 
             def shard_fn(a):  # labels [K,B] / images [K,B,H,W,C]
                 return super_shard if a.ndim in (2, 5) else data_shard
         else:
-            host_iter = iter(train_loader)
+            host_iter = epoch_iter
             shard_fn = data_shard
 
         step = 0

@@ -254,3 +254,33 @@ def test_fused_attn_default_threshold_64(monkeypatch, ln_params):
     assert not calls
     np.testing.assert_allclose(np.asarray(got_off), np.asarray(want),
                                atol=5e-5, rtol=5e-5)
+
+
+def test_fused_attn_n_malformed_env_warns_and_uses_default(monkeypatch,
+                                                           ln_params):
+    """A malformed OUTGRIDVIT_FUSED_ATTN_N (e.g. '64px') must warn and fall
+    back to the default threshold 64 — NOT silently disable the fused
+    branch (which would quietly benchmark the wrong path in an A/B)."""
+    import outgridvit_tpu.ops.attn_branch_pallas as bp
+
+    ls, lb = ln_params
+    m_xla = MultiHeadSelfAttention(dim=48, num_heads=2, use_pallas=False)
+    m_pal = MultiHeadSelfAttention(dim=48, num_heads=2, use_pallas=True)
+
+    calls = []
+    real = bp.attn_branch_pallas
+    monkeypatch.setattr(
+        bp, "attn_branch_pallas",
+        lambda *a, **k: calls.append(1) or real(*a, **k))
+    monkeypatch.delenv("OUTGRIDVIT_FUSED_ATTN", raising=False)
+    monkeypatch.setenv("OUTGRIDVIT_FUSED_ATTN_N", "64px")
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 48))
+    v = m_xla.init(jax.random.PRNGKey(1), x)
+    want = m_xla.apply(v, x, ln=(ls, lb, 1e-5))
+    with pytest.warns(UserWarning, match="OUTGRIDVIT_FUSED_ATTN_N"):
+        with pltpu.force_tpu_interpret_mode():
+            got = m_pal.apply(v, x, ln=(ls, lb, 1e-5))
+    assert calls, "malformed env must keep the default N>=64 dispatch"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=5e-5)

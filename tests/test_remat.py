@@ -118,3 +118,24 @@ def test_remat_policy_names():
     assert remat_policy("dots") is jax.checkpoint_policies.dots_saveable
     with pytest.raises(ValueError):
         remat_policy("bogus")
+
+
+def test_remat_yaml_falsy_forces_off_despite_env(monkeypatch):
+    """A falsy YAML remat key (remat: false / '' / 0 / null) must resolve
+    to the truthy 'off' sentinel so the trace-time OUTGRIDVIT_REMAT
+    fallback in the models cannot re-enable remat."""
+    cfg = {"type": "model_a", "num_classes": 10, "stem_dim": 8,
+           "use_pallas": False, "dpr_max": 0.0,
+           "stages": [{"dim": 8, "depth": 1, "num_heads": 2, "grid_size": 2,
+                       "outlook_heads": 2}]}
+    monkeypatch.setenv("OUTGRIDVIT_REMAT", "dots")
+    x = jnp.zeros((1, 8, 8, 3))
+    # without the key, the env wins (build-time resolution)
+    assert build_model(cfg).remat == "dots"
+    for off_val in (False, "", 0, None):
+        m = build_model({**cfg, "remat": off_val})
+        assert m.remat == "off", off_val
+        assert not _jaxpr_has_remat(m, x), off_val
+    # the explicit string also works and an explicit policy still wins
+    assert not _jaxpr_has_remat(build_model({**cfg, "remat": "off"}), x)
+    assert _jaxpr_has_remat(build_model({**cfg, "remat": "nothing"}), x)

@@ -338,3 +338,44 @@ def test_run_eval_superstep_matches_per_batch():
                    eval_superstep=make_eval_superstep(model.apply), k=2)
     for key in ("loss", "top1", "top3", "top5"):
         np.testing.assert_allclose(m2[key], m1[key], rtol=1e-6, atol=1e-6)
+
+
+def test_one_shot_iterator_loader_trains_all_batches(tmp_path):
+    """A loader whose __iter__ hands out a single-use iterator (a plain
+    generator-style loader a user plugs in) must not lose its first batch
+    to shape-peeking in train_model (training/loop.py)."""
+    from outgridvit_tpu.training import train_model
+
+    rng = np.random.default_rng(0)
+    batches = [
+        (rng.standard_normal((8, 8, 8, 3)).astype(np.float32),
+         (np.arange(8) + i) % 10)
+        for i in range(3)
+    ]
+
+    class OneShotLoader:
+        def __init__(self, bs):
+            self._bs = bs
+            self.consumed = 0
+
+        def __len__(self):
+            return len(self._bs)
+
+        def __iter__(self):
+            return self  # one-shot: every call returns the same iterator
+
+        def __next__(self):
+            if self.consumed >= len(self._bs):
+                raise StopIteration
+            b = self._bs[self.consumed]
+            self.consumed += 1
+            return b
+
+    loader = OneShotLoader(batches)
+    history, state = train_model(
+        model=tiny_model(), train_loader=loader, epochs=1, val_loader=None,
+        use_amp=False, print_every=0, save_path=str(tmp_path / "b.ckpt"),
+        last_path=str(tmp_path / "l.ckpt"), num_classes=10,
+        early_stop=False, seed=0)
+    assert loader.consumed == 3
+    assert int(state.step) == 3  # all batches trained, none dropped
