@@ -218,3 +218,24 @@ def test_eval_superstep_epoch_on_mesh():
     assert m2["num_images"] == m1["num_images"] == 5 * bs
     for key in ("loss", "top1", "top3", "top5"):
         np.testing.assert_allclose(m2[key], m1[key], rtol=1e-5, atol=1e-5)
+
+
+def test_dp_matches_single_device_2dev():
+    """Default-tier DP guarantee: the same batch through a 1-device and a
+    2-device data mesh gives the same loss (GSPMD global-batch semantics,
+    incl. cross-device BatchNorm stats). The 8-device variant stays in the
+    slow tier; this runs on every `pytest -q`."""
+    step_cfg = StepConfig(num_classes=10)  # no mixing: deterministic
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8, 3))
+    y = (jnp.arange(8) % 10).astype(jnp.int32)
+
+    losses = []
+    for shape in ((1, 1), (2, 1)):
+        mesh = make_mesh(shape, devices=jax.devices()[: shape[0] * shape[1]])
+        model, state = _make_state(mesh)
+        step = make_train_step(step_cfg)
+        bshard = batch_sharding(mesh)
+        _, m = step(state, (jax.device_put(x, bshard),
+                            jax.device_put(y, bshard)), jax.random.PRNGKey(2))
+        losses.append(float(m["loss"]))
+    assert losses[0] == pytest.approx(losses[1], rel=1e-5)

@@ -359,3 +359,21 @@ def test_model_a_train_mode_forward_parity():
     t_mean = ref.state_dict()["stem.stem.1.running_mean"].numpy()
     f_mean = np.asarray(mutated["batch_stats"]["stem"]["bn"]["bn"]["mean"])
     np.testing.assert_allclose(f_mean, t_mean, atol=1e-4)
+
+
+def test_model_a_logits_parity_tiny():
+    """Default-tier full-model parity guard: a 1-stage Model A at 8x8 must
+    match the PyTorch reference's logits to <=1e-4 on every `pytest -q`
+    (the 2-stage variant stays in the slow tier)."""
+    from src.Model_A_OutGridNet import MaxOutNet as RefMaxOutNet
+
+    stages = (
+        StageCfg(dim=16, depth=1, num_heads=2, grid_size=2, outlook_heads=2,
+                 outlook_kernel=3),
+    )
+    torch.manual_seed(0)
+    ref = RefMaxOutNet(num_classes=10, stages=_ref_stage_cfgs(stages),
+                       in_ch=3, stem_dim=16, dpr_max=0.1)
+    ours = MaxOutNet(num_classes=10, stages=stages, in_ch=3, stem_dim=16,
+                     dpr_max=0.1, use_pallas=False)
+    _compare(ref, ours, img_hw=8)
