@@ -169,7 +169,8 @@ def main() -> int:
             sharding=bshard))
         t_c0 = time.perf_counter()
         for i in range(n_dispatch_warmup):
-            state, m = step_fn(state, next(pf), base)
+            cost_batch = next(pf)
+            state, m = step_fn(state, cost_batch, base)
         hard_sync(state, m)
         print(f"[bench] warmup+compile {time.perf_counter() - t_c0:.1f}s",
               file=sys.stderr)
@@ -194,6 +195,21 @@ def main() -> int:
 
     imgs_per_sec = batch_size * k_disp * n_dispatch / dt
     per_chip = imgs_per_sec / max(1, n_chips)
+
+    # MFU + bytes-roofline context from XLA's cost analysis of the exact
+    # program timed above (compile hits the executable cache). The
+    # reference publishes FLOPs with every number (eval_one_epoch_logs);
+    # here the roofline says whether the step is compute- or HBM-bound.
+    from outgridvit_tpu.utils.roofline import compiled_cost, roofline_report
+
+    if not real_loader:
+        cost_batch = batches[0]
+    flops_d, bytes_d = compiled_cost(step_fn, state, cost_batch, base)
+    # normalize the K-step dispatch to per-train-step quantities
+    roof = roofline_report(
+        flops_d / k_disp if flops_d else None,
+        bytes_d / k_disp if bytes_d else None,
+        dt / (n_dispatch * k_disp), n_chips=n_chips)
     print(
         json.dumps(
             {
@@ -202,6 +218,7 @@ def main() -> int:
                 "value": round(per_chip, 1),
                 "unit": "imgs/s",
                 "vs_baseline": round(per_chip / BASELINE_IMGS_PER_SEC, 3),
+                **roof,
             }
         )
     )

@@ -221,7 +221,11 @@ def main() -> int:
                           "k_sweep": results}))
         return 0
 
+    from outgridvit_tpu.utils.roofline import compiled_cost, roofline_report
+
     results = {}
+    rooflines = {}
+    n_chips = len(jax.devices())
     for bs in args.batch:
         state = ctx.fresh_state()
         bshape = (k, bs) if k > 1 else (bs,)
@@ -247,11 +251,20 @@ def main() -> int:
         dt = time.perf_counter() - t0
         rate = bs * k * n_disp / dt
         results[bs] = round(rate, 1)
+        # MFU + HBM roofline for the exact program timed (compile cached)
+        flops_d, bytes_d = compiled_cost(step_fn, state, batches[0], base)
+        roof = roofline_report(
+            flops_d / k if flops_d else None,
+            bytes_d / k if bytes_d else None,
+            dt / (n_disp * k), n_chips=n_chips)
+        rooflines[bs] = roof
         print(f"[bench_config] bs={bs}: {rate:.1f} imgs/s "
-              f"({1000 * dt / (k * n_disp):.2f} ms/step)", file=sys.stderr)
+              f"({1000 * dt / (k * n_disp):.2f} ms/step | "
+              f"mfu {roof['mfu']} | hbm_util {roof['hbm_util']})",
+              file=sys.stderr)
 
     print(json.dumps({"config": args.config, "img_size": img, "k": k,
-                      "imgs_per_sec": results}))
+                      "imgs_per_sec": results, "roofline": rooflines}))
     return 0
 
 

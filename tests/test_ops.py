@@ -129,3 +129,29 @@ def test_drop_path_semantics():
     assert 0.55 < kept < 0.85
     z = drop_path(x, 0.3, jax.random.PRNGKey(0), True)
     np.testing.assert_array_equal(np.asarray(z), np.asarray(x))
+
+
+def test_roofline_report_and_compiled_cost():
+    """MFU/roofline helper: cost analysis of a compiled program feeds a
+    report; unknown device kinds (CPU here) degrade to mfu=None rather
+    than inventing a peak."""
+    import jax
+    import jax.numpy as jnp
+
+    from outgridvit_tpu.utils.roofline import (
+        chip_peaks, compiled_cost, roofline_report)
+
+    f = jax.jit(lambda a, b: a @ b)
+    a = jnp.ones((64, 64), jnp.float32)
+    flops, nbytes = compiled_cost(f, a, a)
+    # CPU backends report flops; bytes may be absent on some versions
+    if flops is not None:
+        assert flops >= 2 * 64 * 64 * 64 * 0.5  # ballpark of 2*M*N*K
+    rep = roofline_report(flops, nbytes, 1e-3)
+    assert rep["step_ms"] == 1.0
+    peak_f, peak_b, kind = chip_peaks()
+    if peak_f is None:  # cpu test platform
+        assert rep["mfu"] is None and rep["hbm_util"] is None
+    # a known kind computes a bounded utilization
+    rep2 = roofline_report(1e9, 1e6, 1e-3, n_chips=1)
+    assert rep2["flops_per_byte"] == 1000.0
