@@ -47,6 +47,8 @@ class ArrayDataLoader:
         drop_last: bool = False,
         num_threads: int = 8,
         lookahead: int = 4,
+        process_id: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.images = images
         self.labels = np.asarray(labels)
@@ -60,6 +62,25 @@ class ArrayDataLoader:
         self.lookahead = lookahead
         self.epoch = 0
         self._pool = None  # persistent transform pool, created lazily
+        # Multi-process mode (SURVEY §5 "per-host input pipelines"):
+        # `batch_size` stays the GLOBAL batch; every process walks the SAME
+        # seeded global permutation and materializes only its own rows of
+        # each global batch — the row block matching
+        # make_array_from_process_local_data's assembly order
+        # (parallel/distributed.py:local_row_slice). A ragged global tail
+        # is dropped (it cannot shard evenly over a cross-process mesh).
+        self.process_count = int(process_count) if process_count else 1
+        self.process_id = int(process_id) if process_id is not None else 0
+        if self.process_count > 1:
+            if self.batch_size % self.process_count != 0:
+                raise ValueError(
+                    f"global batch {self.batch_size} not divisible by "
+                    f"{self.process_count} processes")
+            if not (0 <= self.process_id < self.process_count):
+                raise ValueError(
+                    f"process_id {self.process_id} out of range "
+                    f"[0, {self.process_count})")
+            self.drop_last = True
         if self.n == 0:
             raise ValueError("empty dataset")
 
@@ -121,6 +142,11 @@ class ArrayDataLoader:
             order[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(nb)
         ]
+        if self.process_count > 1:
+            # this process's rows of every (full, drop_last) global batch
+            loc = self.batch_size // self.process_count
+            lo = self.process_id * loc
+            batches = [b[lo : lo + loc] for b in batches]
         if self.lookahead <= 1:
             for b in batches:
                 yield self._make_batch(b)
@@ -186,6 +212,12 @@ class Prefetcher:
         def put_one(a):
             s = self.sharding(a) if callable(self.sharding) else self.sharding
             if s is not None:
+                if self._jax.process_count() > 1:
+                    # multi-process: `a` is this process's rows; assemble
+                    # the global array (SURVEY §5). No unsharded fallback —
+                    # a process-local array cannot feed a global SPMD
+                    # program (the loader already drops ragged tails).
+                    return self._jax.make_array_from_process_local_data(s, a)
                 try:
                     return self._jax.device_put(a, s)
                 except ValueError:

@@ -107,7 +107,18 @@ def state_shardings(state, mesh: Mesh):
 
 
 def shard_train_state(state, mesh: Mesh):
-    """device_put a TrainState with TP rules on params + optimizer moments
-    and replication for everything else. jit preserves these shardings;
-    GSPMD inserts the collectives."""
-    return jax.device_put(state, state_shardings(state, mesh))
+    """Place a TrainState on the mesh with TP rules on params + optimizer
+    moments and replication for everything else. jit preserves these
+    shardings; GSPMD inserts the collectives.
+
+    Single-process: one ``device_put``. Multi-process (mesh spanning
+    processes): every process holds the full state (same seed -> same
+    init / same restored checkpoint), so each leaf is placed with
+    ``put_replicated_global``, which slices out exactly the shards this
+    process's devices own (parallel/distributed.py)."""
+    shardings = state_shardings(state, mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(state, shardings)
+    from outgridvit_tpu.parallel.distributed import put_replicated_global
+
+    return jax.tree_util.tree_map(put_replicated_global, state, shardings)

@@ -27,15 +27,28 @@ def save_checkpoint(
     best_top1: float = float("-inf"),
     extra: Optional[Dict[str, Any]] = None,
 ) -> None:
-    """Serialize train-state arrays + metadata into one file."""
+    """Serialize train-state arrays + metadata into one file.
+
+    Multi-process: EVERY process must call this (the host fetch of
+    cross-process-sharded leaves is a collective all-gather,
+    `parallel/distributed.py:replicate_to_host`), but only process 0
+    writes the file — SURVEY §5's process-0 gating."""
     tree = {
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "step": state.step,
     }
+    if jax.process_count() > 1:
+        from outgridvit_tpu.parallel.distributed import replicate_to_host
+
+        host_tree = jax.tree_util.tree_map(replicate_to_host, tree)
+        if jax.process_index() != 0:
+            return
+    else:
+        host_tree = jax.device_get(tree)
     payload = serialization.msgpack_serialize(
-        serialization.to_state_dict(jax.device_get(tree))
+        serialization.to_state_dict(host_tree)
     )
     meta = json.dumps(
         {"epoch": int(epoch), "best_top1": float(best_top1),

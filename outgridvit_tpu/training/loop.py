@@ -153,6 +153,13 @@ def train_model(
         mesh = make_mesh()
     data_shard = batch_sharding(mesh)
 
+    # Multi-process mode (SURVEY §5): every process runs this same loop
+    # over the same global mesh; only process 0 logs (checkpoint writes are
+    # gated inside save_checkpoint, whose host-gather is collective; the
+    # Prefetcher assembles global batches from per-process loader rows).
+    n_proc = jax.process_count()
+    log = print if jax.process_index() == 0 else (lambda *a, **k: None)
+
     steps_per_epoch = len(train_loader)
     total_steps = epochs * steps_per_epoch
     warmup_steps = int(total_steps * warmup_ratio)
@@ -242,7 +249,7 @@ def train_model(
         best_val_loss = float(extra.get("best_val_loss", best_val_loss))
         best_epoch = int(extra.get("best_epoch", best_epoch))
         best_metric = float(extra.get("best_metric", best_metric))
-        print(
+        log(
             f"Resumed from {resume_path} at epoch {start_epoch} | "
             f"best_top1 {best_val_top1:.2f}% | best_loss {best_val_loss:.4f} | "
             f"best_{metric} {best_metric:.6f}"
@@ -274,31 +281,33 @@ def train_model(
         return all(vals[i] <= vals[i + 1] for i in range(len(vals) - 1))
 
     # ---- run-config banner (reference `train_full_model.py:136-146`)
-    print("=== Run config ===")
-    print(
+    log("=== Run config ===")
+    log(
         f"device={jax.default_backend()}x{len(jax.devices())} | amp={use_amp} | "
         f"autocast_dtype={autocast_dtype} (compute={compute_dtype.__name__}) | "
         f"mesh={dict(mesh.shape)}"
     )
-    print(
+    log(
         f"epochs={epochs} | steps/epoch={steps_per_epoch} | "
         f"total_steps={total_steps} | warmup_steps={warmup_steps}"
     )
-    print(f"batch_size={bs0} | input_shape={img_shape} | num_classes={num_classes}")
-    print(f"opt=AdamW | lr={lr} | wd={weight_decay} | grad_clip_norm={grad_clip_norm}")
-    print(
+    log(f"batch_size={bs0 * n_proc}"
+        + (f" ({n_proc} procs x {bs0} local)" if n_proc > 1 else "")
+        + f" | input_shape={img_shape} | num_classes={num_classes}")
+    log(f"opt=AdamW | lr={lr} | wd={weight_decay} | grad_clip_norm={grad_clip_norm}")
+    log(
         f"aug: mix_prob={mix_prob} | mixup_alpha={mixup_alpha} | "
         f"cutmix_alpha={cutmix_alpha} | label_smoothing={label_smoothing}"
         + (" | device_augment=on" if aug_cfg is not None else "")
     )
     if val_loader is not None:
-        print(
+        log(
             f"early_stop={early_stop} | metric={metric} | patience={patience} | "
             f"min_delta={early_stop_min_delta}"
         )
     else:
-        print("val_loader=None => no early-stop / no best saving by val metric.")
-    print("==================")
+        log("val_loader=None => no early-stop / no best saving by val metric.")
+    log("==================")
 
     # optional profiler trace of the first trained epoch (reference only has
     # print-based tracing, SURVEY §5; set OUTGRIDVIT_PROFILE_DIR to capture)
@@ -307,7 +316,7 @@ def train_model(
     profile_dir = os.environ.get("OUTGRIDVIT_PROFILE_DIR")
 
     for epoch in range(start_epoch + 1, epochs + 1):
-        print(f"\n=== Epoch {epoch}/{epochs} ===")
+        log(f"\n=== Epoch {epoch}/{epochs} ===")
         t_epoch = time.time()
         if hasattr(train_loader, "set_epoch"):
             train_loader.set_epoch(epoch)
@@ -330,6 +339,19 @@ def train_model(
             nonlocal device_metrics
             if device_metrics:
                 ks = list(device_metrics[0].keys())
+                if n_proc > 1:
+                    # eager jnp ops on cross-process (non-addressable)
+                    # arrays are not allowed; the metrics are replicated,
+                    # so a bulk device_get of the pytree works everywhere
+                    # (superstep entries are [K]-vectors: flatten them)
+                    for d in jax.device_get(device_metrics):
+                        cols = {k: np.atleast_1d(d[k]) for k in ks}
+                        host_metrics.extend(
+                            {k: float(cols[k][i]) for k in ks}
+                            for i in range(len(cols[ks[0]]))
+                        )
+                    device_metrics = []
+                    return
                 stacked = {
                     k: jnp.concatenate(
                         [jnp.atleast_1d(d[k]) for d in device_metrics])
@@ -388,7 +410,7 @@ def train_model(
                 )
                 lr_now = host_metrics[-1]["lr"]
                 dt = time.time() - t0
-                print(
+                log(
                     f"[train step {step}/{nsteps}] "
                     f"loss {mm['loss']:.4f} | "
                     f"top1 {mm['top1']:.2f}% | top3 {mm['top3']:.2f}% | "
@@ -400,7 +422,7 @@ def train_model(
 
         if profile_dir and epoch == start_epoch + 1:
             jax.profiler.stop_trace()
-            print(f"[profile] wrote jax trace to {profile_dir}")
+            log(f"[profile] wrote jax trace to {profile_dir}")
 
         drain()
         finite_ms = [s for s in host_metrics
@@ -426,7 +448,7 @@ def train_model(
         history["train_mem_alloc_gib"].append(mem_gib)
         history["train_mem_res_gib"].append(mem_gib)
 
-        print(
+        log(
             f"[Train] loss {tr['loss']:.4f} | top1 {tr['top1']:.2f}% | "
             f"top3 {tr['top3']:.2f}% | top5 {tr['top5']:.2f}% | "
             f"lr {lr_now:.2e} | "
@@ -434,7 +456,7 @@ def train_model(
             f"amp_overflows 0 | nonfinite_loss {nonfinite_steps} | scale 1.0"
         )
         if np.isfinite(mem_gib):
-            print(f"[Train] mem_peak alloc {mem_gib:.2f} GiB | reserved {mem_gib:.2f} GiB")
+            log(f"[Train] mem_peak alloc {mem_gib:.2f} GiB | reserved {mem_gib:.2f} GiB")
 
         # save "last" every epoch (reference `train_full_model.py:212-225`)
         save_checkpoint(
@@ -467,12 +489,12 @@ def train_model(
             history["val_mem_alloc_gib"].append(val_mem)
             history["val_mem_res_gib"].append(val_mem)
 
-            print(
+            log(
                 f"[Val]   loss {va['loss']:.4f} | top1 {va['top1']:.2f}% | "
                 f"top3 {va['top3']:.2f}% | top5 {va['top5']:.2f}%"
             )
             if np.isfinite(val_mem):
-                print(f"[Val]   mem_peak alloc {val_mem:.2f} GiB | reserved {val_mem:.2f} GiB")
+                log(f"[Val]   mem_peak alloc {val_mem:.2f} GiB | reserved {val_mem:.2f} GiB")
 
             if va["top1"] > best_val_top1:
                 best_val_top1 = va["top1"]
@@ -494,7 +516,7 @@ def train_model(
                         "best_metric_name": metric,
                     },
                 )
-                print(f"Best saved to {save_path} (val {metric} = {best_metric:.6f})")
+                log(f"Best saved to {save_path} (val {metric} = {best_metric:.6f})")
                 bad_epochs = 0
             else:
                 bad_epochs += 1
@@ -504,7 +526,7 @@ def train_model(
                 if len(last_vals) > patience:
                     last_vals = last_vals[-patience:]
                 if bad_epochs >= patience and _degradation_monotonic(last_vals):
-                    print(
+                    log(
                         f"Early-stop: no improvement on val_{metric} for "
                         f"{patience} epochs."
                     )
@@ -513,7 +535,7 @@ def train_model(
         if stop_now:
             break
         dt = time.time() - t_epoch
-        print(f"Epoch time: {dt / 60:.2f} min")
+        log(f"Epoch time: {dt / 60:.2f} min")
 
     return history, state
 

@@ -47,6 +47,20 @@ def parse_args() -> argparse.Namespace:
         "--steps-per-dispatch", type=int, default=None,
         help="scan K train steps per dispatched XLA program (amortizes host "
              "round trips; default: 8 on accelerator backends, 1 on CPU)")
+    # multi-process / multi-host execution (SURVEY §5): one launched
+    # process per host, same flags everywhere except --dist-process-id.
+    # Defaults also come from OUTGRIDVIT_COORDINATOR / _NUM_PROCESSES /
+    # _PROCESS_ID so cluster launchers can configure via environment.
+    parser.add_argument(
+        "--dist-coordinator", default=None,
+        help="host:port of process 0's coordination service "
+             "(enables jax.distributed multi-process execution)")
+    parser.add_argument(
+        "--dist-num-processes", type=int, default=None,
+        help="total number of processes in the distributed run")
+    parser.add_argument(
+        "--dist-process-id", type=int, default=None,
+        help="this process's id in [0, num_processes)")
     return parser.parse_args()
 
 
@@ -91,7 +105,24 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
     elif device in ("cuda", "tpu", "auto", ""):
         pass  # jax picks the best available backend
-    import jax  # noqa: E402  (after platform selection)
+
+    # multi-process bring-up must precede any jax backend initialization
+    from outgridvit_tpu.parallel.distributed import (
+        initialize as initialize_distributed,
+        is_main_process,
+        shard_loader_for_process,
+        warmup_collectives,
+    )
+
+    initialize_distributed(
+        coordinator_address=args.dist_coordinator,
+        num_processes=args.dist_num_processes,
+        process_id=args.dist_process_id,
+    )
+    import jax  # noqa: E402  (after platform selection + dist init)
+
+    if jax.process_count() > 1:
+        warmup_collectives()
 
     if "device_augment" not in data_cfg:
         if args.device_augment == "auto":
@@ -131,6 +162,12 @@ def main() -> int:
     num_classes = int(model_cfg.get("num_classes", 100))
 
     train_loader, val_loader, _ = build_dataloaders(data_cfg, num_classes, seed=seed)
+    if jax.process_count() > 1:
+        # per-host input pipelines (SURVEY §5): each process yields only
+        # its own rows of every global batch; the Prefetcher assembles the
+        # global arrays via make_array_from_process_local_data
+        train_loader = shard_loader_for_process(train_loader)
+        val_loader = shard_loader_for_process(val_loader)
 
     save_path = Path(train_cfg.get("save_path", "best_model.ckpt"))
     last_path = Path(train_cfg.get("last_path", "last_model.ckpt"))
@@ -179,7 +216,8 @@ def main() -> int:
         steps_per_dispatch=int(train_cfg.get("steps_per_dispatch", 1)),
     )
 
-    print("Training complete. History keys:", sorted(history.keys()))
+    if is_main_process():
+        print("Training complete. History keys:", sorted(history.keys()))
     return 0
 
 
