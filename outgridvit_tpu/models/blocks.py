@@ -80,14 +80,14 @@ class OutlookAttention2d(nn.Module):
             return v + vb.astype(dt) if vb is not None else v
 
         # A fused Pallas outlook kernel exists
-        # (outgridvit_tpu/ops/outlook_pallas.py) but measured SLOWER than
+        # (outgridvit_tpu/ops/experimental/outlook_pallas.py) but measured SLOWER than
         # this XLA shift-and-accumulate path on v5e: Mosaic's rotate op only
         # supports 32-bit data, forcing fp32 shifts, and per-tap lane padding
         # wastes VMEM. Kept off by default until Mosaic grows bf16 rotates;
         # enable explicitly with use_pallas="fused_outlook".
         if self.use_pallas == "fused_outlook" and s == 1 and not capture and \
                 not (self.attn_drop > 0.0 and not deterministic):
-            from outgridvit_tpu.ops.outlook_pallas import outlook_attention_pallas
+            from outgridvit_tpu.ops.experimental.outlook_pallas import outlook_attention_pallas
 
             y = outlook_attention_pallas(_v(), a, heads, k)
         else:
@@ -102,7 +102,7 @@ class OutlookAttention2d(nn.Module):
                          a.astype(jnp.float32))
             a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(x.dtype)
             a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
-            # Fused aggregate+projection kernel (ops/outlook_agg_pallas.py):
+            # Fused aggregate+projection kernel (ops/experimental/outlook_agg_pallas.py):
             # v and attn read ONCE per image instead of XLA's 9 shifted
             # re-reads, the aggregate never touches HBM, projection on the
             # MXU in-kernel. Opt-in via OUTGRIDVIT_OUTAGG=1 (stride-1 K=3
@@ -123,7 +123,7 @@ class OutlookAttention2d(nn.Module):
                 if mode == "2":
                     # v-fold: x -> v-proj -> aggregate -> out-proj in ONE
                     # kernel; the value tensor never touches HBM
-                    from outgridvit_tpu.ops.outlook_agg_pallas import (
+                    from outgridvit_tpu.ops.experimental.outlook_agg_pallas import (
                         outlook_branch_feasible,
                         outlook_branch_pallas,
                     )
@@ -139,7 +139,7 @@ class OutlookAttention2d(nn.Module):
                         return nn.Dropout(
                             self.proj_drop,
                             deterministic=deterministic)(out)
-                from outgridvit_tpu.ops.outlook_agg_pallas import (
+                from outgridvit_tpu.ops.experimental.outlook_agg_pallas import (
                     outlook_agg_feasible,
                     outlook_attention_proj_pallas,
                 )

@@ -40,6 +40,49 @@ class DropPath(nn.Module):
         return _drop_path_fn(x, self.rate, rng, deterministic=False)
 
 
+class _BNFoldedAffine(nn.Module):
+    """BatchNorm whose big-tensor pass is ONE low-precision multiply-add.
+
+    Same parameter/collection tree as ``nn.BatchNorm`` (params
+    ``scale``/``bias``, batch_stats ``mean``/``var``, all fp32) so
+    checkpoints are interchangeable with the default path. Stats are fp32
+    (one fused mean/mean-of-squares pass, global-batch under GSPMD), then
+    the per-channel affine ``g = scale*rsqrt(var+eps)``, ``b = bias -
+    mean*g`` folds the whole normalize into ``x*g + b`` in ``x.dtype`` —
+    the fp32 elementwise chain over the 4x-expanded MBConv tensors is
+    where the default path spends its HBM bytes (docs/PERFORMANCE.md
+    64px profile)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=axes)
+            mean2 = jnp.mean(x32 * x32, axis=axes)
+            # fast-variance form, clamped at 0 (same as flax)
+            var = jnp.maximum(0.0, mean2 - mean * mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        g = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * g
+        return x * g.astype(x.dtype) + b.astype(x.dtype)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch-compatible defaults (eps 1e-5, momentum 0.1 torch
     == 0.9 flax). Stats/affine in fp32; output cast back to input dtype.
@@ -47,6 +90,12 @@ class BatchNorm(nn.Module):
     Under jit with a batch-sharded input, the batch statistics are global-batch
     statistics automatically (GSPMD inserts the cross-device reductions), which
     is the TPU-native replacement for SyncBatchNorm.
+
+    ``OUTGRIDVIT_BN_FOLD=1`` (trace-time, A/B knob) routes low-precision
+    inputs through ``_BNFoldedAffine``: fp32 stats but a single
+    ``x*g + b`` big-tensor pass in ``x.dtype`` instead of the default
+    fp32 normalize chain — same checkpoint tree, bf16-rounding-level
+    numerics difference.
     """
 
     use_running_average: Optional[bool] = None
@@ -58,6 +107,14 @@ class BatchNorm(nn.Module):
         ura = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
+        import os
+
+        if (x.dtype != jnp.float32
+                and os.environ.get("OUTGRIDVIT_BN_FOLD", "0")
+                in ("1", "true")):
+            return _BNFoldedAffine(
+                momentum=self.momentum, epsilon=self.epsilon, name="bn"
+            )(x, ura)
         y = nn.BatchNorm(
             use_running_average=ura,
             momentum=self.momentum,
@@ -252,7 +309,7 @@ class _DepthwiseConv3x3(nn.Module):
     """Depthwise 3x3 with ``nn.Conv``'s exact param tree ("kernel"
     [3,3,1,C] lecun-normal, optional zero "bias").
 
-    A transposed-layout Pallas stencil exists (ops/dwconv_pallas_t.py) but
+    A transposed-layout Pallas stencil exists (ops/experimental/dwconv_pallas_t.py) but
     measured ~4x SLOWER than XLA's conv lowering standalone on every stage
     shape (docs/PERFORMANCE.md negative results: the 9-tap shift-mac is
     VPU-op-bound while XLA rides the MXU), so the default is the plain XLA
@@ -284,7 +341,7 @@ class _DepthwiseConv3x3(nn.Module):
                           and os.environ.get("OUTGRIDVIT_DW_BWD", "0")
                           in ("1", "true", "auto"))
         if use_bwd_kernel:
-            from outgridvit_tpu.ops.dwconv_bwd_pallas import (
+            from outgridvit_tpu.ops.experimental.dwconv_bwd_pallas import (
                 dwconv3x3,
                 dwconv3x3_bwd_feasible,
             )
@@ -299,7 +356,7 @@ class _DepthwiseConv3x3(nn.Module):
                     y = y + bias.astype(dt)
                 return y
         if use_t:
-            from outgridvit_tpu.ops.dwconv_pallas_t import dwconv3x3_t
+            from outgridvit_tpu.ops.experimental.dwconv_pallas_t import dwconv3x3_t
 
             y = dwconv3x3_t(x.astype(dt), kernel.reshape(3, 3, C).astype(dt))
         elif use_taps:

@@ -14,7 +14,7 @@ transposed kernels), and the flattened spatial dim rides the sublanes. A
 tap shift is then a sublane-dim concatenate (by 1 for W, by W for H) plus
 an interior-border iota mask; nothing ever moves across lanes — the failure
 mode that sank the transposed-layout forward kernel
-(``ops/dwconv_pallas_t.py``, kept as a negative result).
+(``ops/experimental/dwconv_pallas_t.py``, kept as a negative result).
 
 One pass over (x, dy) per program computes BOTH
   dx[p]   = sum_t w[t] * dy[p - off_t]        (flipped-kernel conv), and

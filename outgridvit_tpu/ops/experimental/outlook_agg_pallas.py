@@ -12,7 +12,7 @@ aggregate (the standard recompute pattern used by the attention kernels)
 and emits ``dv``/``dattn`` in one haloed pass instead of XLA's 9+9
 scatter/reduce fusions.
 
-Layout (the round-2 lesson, same as ``ops/dwconv_bwd_pallas.py``): blocks
+Layout (the round-2 lesson, same as ``ops/experimental/dwconv_bwd_pallas.py``): blocks
 are whole-image ``[H*W, C]`` slices of the ``[B, H*W, C]`` view — channels
 stay on the native LANES, the flattened spatial dim rides the sublanes,
 and a tap shift is a sublane-dim concatenate plus an interior-border iota
@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from outgridvit_tpu.ops.dwconv_bwd_pallas import (  # same tap geometry
+from outgridvit_tpu.ops.experimental.dwconv_bwd_pallas import (  # same tap geometry
     _OFFS,
     _border_mask,
     _shift_flat,

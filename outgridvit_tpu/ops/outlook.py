@@ -7,7 +7,7 @@ K^2-times-larger ``[B, C*K*K, H*W]`` tensor (`src/model/outlook_attention.py:113
 - **XLA path** (:func:`outlook_aggregate_xla`): pad once, then K^2 static
   shifted slices, each fused by XLA into a multiply-accumulate against one
   attention tap. O(K^2) reads of ``v`` but zero extra residency.
-- **Pallas path** (:mod:`outgridvit_tpu.ops.outlook_pallas`): one kernel that
+- **Pallas path** (:mod:`outgridvit_tpu.ops.experimental.outlook_pallas`): one kernel that
   keeps a (block + halo) tile of ``v`` in VMEM and does all K^2 taps on-chip.
 
 Semantics (bit-matched to the reference forward, `outlook_attention.py:91-124`):
@@ -99,7 +99,7 @@ def outlook_aggregate(
     """Outlook aggregation entry point.
 
     Always the XLA shift-and-accumulate path: a fused Pallas variant
-    (softmax + taps, :mod:`outgridvit_tpu.ops.outlook_pallas`) exists but
+    (softmax + taps, :mod:`outgridvit_tpu.ops.experimental.outlook_pallas`) exists but
     measured slower on v5e (Mosaic rotates only 32-bit data); the module
     layer (`models/blocks.py OutlookAttention2d`) owns that dispatch.
     ``use_pallas`` is accepted for signature stability and ignored here.

@@ -1,4 +1,4 @@
-"""Fused depthwise-3x3 backward kernel (ops/dwconv_bwd_pallas.py) vs XLA's
+"""Fused depthwise-3x3 backward kernel (ops/experimental/dwconv_bwd_pallas.py) vs XLA's
 autodiff of the plain grouped conv: dx and dw must match to fp32-accumulate
 tolerance on every shipped stage shape family."""
 
@@ -9,7 +9,7 @@ import pytest
 
 from jax.experimental.pallas import tpu as pltpu
 
-from outgridvit_tpu.ops.dwconv_bwd_pallas import (
+from outgridvit_tpu.ops.experimental.dwconv_bwd_pallas import (
     _dw_fwd_conv,
     dwconv3x3,
     dwconv3x3_bwd_fits,

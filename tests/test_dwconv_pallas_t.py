@@ -1,6 +1,6 @@
 """Transposed-layout depthwise-conv stencil kernel (interpret mode, CPU).
 
-ops/dwconv_pallas_t.py is opt-in (OUTGRIDVIT_DW_T=1): it measured slower
+ops/experimental/dwconv_pallas_t.py is opt-in (OUTGRIDVIT_DW_T=1): it measured slower
 than XLA's conv lowering on v5e (see docs/PERFORMANCE.md negative results)
 but is kept correct — forward, input-grad, and in-VMEM-accumulated
 weight-grad all match ``lax.conv_general_dilated``.
@@ -13,7 +13,7 @@ import pytest
 
 from jax.experimental.pallas import tpu as pltpu
 
-from outgridvit_tpu.ops.dwconv_pallas_t import dwconv3x3_t
+from outgridvit_tpu.ops.experimental.dwconv_pallas_t import dwconv3x3_t
 
 
 def _ref(x, w):

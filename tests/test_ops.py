@@ -155,3 +155,43 @@ def test_roofline_report_and_compiled_cost():
     # a known kind computes a bounded utilization
     rep2 = roofline_report(1e9, 1e6, 1e-3, n_chips=1)
     assert rep2["flops_per_byte"] == 1000.0
+
+
+def test_bn_fold_matches_default_path(monkeypatch):
+    """OUTGRIDVIT_BN_FOLD=1 (single low-precision x*g+b big-tensor pass)
+    must match the default fp32-normalize BatchNorm to bf16 rounding, with
+    an identical param/batch_stats tree and the same running-stat math."""
+    import jax
+    import jax.numpy as jnp
+
+    from outgridvit_tpu.models.layers import BatchNorm
+
+    x = (jax.random.normal(jax.random.PRNGKey(0), (8, 4, 4, 16)) * 3 + 1
+         ).astype(jnp.bfloat16)
+    bn = BatchNorm()
+
+    monkeypatch.delenv("OUTGRIDVIT_BN_FOLD", raising=False)
+    v = bn.init(jax.random.PRNGKey(1), x, use_running_average=False)
+    y0, m0 = bn.apply(v, x, use_running_average=False,
+                      mutable=["batch_stats"])
+    e0 = bn.apply(v, x, use_running_average=True)
+
+    monkeypatch.setenv("OUTGRIDVIT_BN_FOLD", "1")
+    v1 = bn.init(jax.random.PRNGKey(1), x, use_running_average=False)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v)
+    y1, m1 = bn.apply(v, x, use_running_average=False,
+                      mutable=["batch_stats"])
+    e1 = bn.apply(v, x, use_running_average=True)
+
+    np.testing.assert_allclose(np.asarray(y1, np.float32),
+                               np.asarray(y0, np.float32),
+                               atol=0.05, rtol=0.05)
+    np.testing.assert_allclose(np.asarray(e1, np.float32),
+                               np.asarray(e0, np.float32),
+                               atol=0.05, rtol=0.05)
+    # running stats update with the same fp32 math (biased var, flax
+    # momentum convention)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(m1["batch_stats"]["bn"][k]),
+            np.asarray(m0["batch_stats"]["bn"][k]), rtol=2e-2, atol=2e-2)

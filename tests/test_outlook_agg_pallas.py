@@ -1,4 +1,4 @@
-"""Fused outlook aggregate+projection kernel (ops/outlook_agg_pallas.py)
+"""Fused outlook aggregate+projection kernel (ops/experimental/outlook_agg_pallas.py)
 vs its XLA twin (ops/outlook.py::outlook_aggregate_xla followed by a
 dense): forward and every gradient must match to fp32-accumulate
 tolerance on the shipped stage-shape families."""
@@ -11,7 +11,7 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from outgridvit_tpu.ops.outlook import outlook_aggregate_xla
-from outgridvit_tpu.ops.outlook_agg_pallas import (
+from outgridvit_tpu.ops.experimental.outlook_agg_pallas import (
     outlook_agg_fits,
     outlook_attention_proj_pallas,
 )
@@ -73,7 +73,7 @@ def test_fused_outlook_matches_xla_fwd_and_grads(B, H, W, C, heads):
 def test_chunked_path_matches_whole_image(monkeypatch):
     """A tight VMEM budget forces the row-chunked kernels (halo rows +
     neighbor scatter-adds in backward); results must equal the XLA twin."""
-    from outgridvit_tpu.ops.outlook_agg_pallas import _pick_bh
+    from outgridvit_tpu.ops.experimental.outlook_agg_pallas import _pick_bh
 
     B, H, W, C, heads = 2, 16, 8, 48, 2
     monkeypatch.setenv("OUTGRIDVIT_OUTAGG_KIB", "640")
@@ -105,7 +105,7 @@ def test_chunked_path_matches_whole_image(monkeypatch):
 
 
 def test_outlook_agg_fits_guard():
-    from outgridvit_tpu.ops.outlook_agg_pallas import _pick_bh
+    from outgridvit_tpu.ops.experimental.outlook_agg_pallas import _pick_bh
 
     # every shipped outlooker shape must pass the static gate at bs 128
     for H, C, heads in ((32, 48, 2), (16, 96, 3), (8, 192, 6), (4, 256, 8),
@@ -172,7 +172,7 @@ def test_env_toggle_dispatches_fused_path(monkeypatch, tmp_path):
     want = m.apply(variables, x)
 
     calls = []
-    import outgridvit_tpu.ops.outlook_agg_pallas as oap
+    import outgridvit_tpu.ops.experimental.outlook_agg_pallas as oap
 
     real = oap.outlook_attention_proj_pallas
     monkeypatch.setattr(
@@ -202,7 +202,7 @@ def _xla_branch_twin(x, a, wv, bv, wp, bp, heads):
 ])
 def test_vfold_branch_matches_xla_fwd_and_grads(B, H, W, Cin, C, heads,
                                                 kib, monkeypatch):
-    from outgridvit_tpu.ops.outlook_agg_pallas import (
+    from outgridvit_tpu.ops.experimental.outlook_agg_pallas import (
         _pick_bh_v,
         outlook_branch_pallas,
     )

@@ -7,7 +7,7 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from outgridvit_tpu.ops.outlook import outlook_aggregate_xla
-from outgridvit_tpu.ops.outlook_pallas import outlook_attention_pallas
+from outgridvit_tpu.ops.experimental.outlook_pallas import outlook_attention_pallas
 
 
 def _xla_ref(v, logits, heads, k):
