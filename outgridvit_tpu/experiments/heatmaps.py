@@ -54,6 +54,56 @@ def _box_smooth(m: np.ndarray, k: int = 3) -> np.ndarray:
     return out / (k * k)
 
 
+def _upsample_map(m: np.ndarray, out_hw) -> np.ndarray:
+    """Bilinear upsample of a [Hf,Wf] map to the exact image size.
+
+    align_corners=False pixel-center semantics — the reference's
+    ``F.interpolate(..., mode="bilinear", align_corners=False)``
+    (`heat_map_att_outlooker.py:68-71`). Exact for non-divisible shapes,
+    unlike nearest-neighbour ``np.kron`` tiling.
+    """
+    Hf, Wf = m.shape
+    Hi, Wi = int(out_hw[0]), int(out_hw[1])
+    m = m.astype(np.float32)
+    if (Hf, Wf) == (Hi, Wi):
+        return m
+    ys = (np.arange(Hi, dtype=np.float32) + 0.5) * (Hf / Hi) - 0.5
+    xs = (np.arange(Wi, dtype=np.float32) + 0.5) * (Wf / Wi) - 0.5
+    y0 = np.clip(np.floor(ys), 0, Hf - 1).astype(np.int64)
+    x0 = np.clip(np.floor(xs), 0, Wf - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, Hf - 1)
+    x1 = np.minimum(x0 + 1, Wf - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    top = m[y0][:, x0] * (1.0 - wx) + m[y0][:, x1] * wx
+    bot = m[y1][:, x0] * (1.0 - wx) + m[y1][:, x1] * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def _fm_to_img_xy(y_f: float, x_f: float, fm_hw, img_hw):
+    """Center-of-cell featuremap→image coordinate mapping (reference
+    `heat_map_att_outlooker.py:145-156`)."""
+    y = (y_f + 0.5) / fm_hw[0] * img_hw[0]
+    x = (x_f + 0.5) / fm_hw[1] * img_hw[1]
+    return x, y
+
+
+def _blocks_to_plot(captures, field, block_idx):
+    """Normalize a block selector (int | sequence | 'all') to a sorted list
+    of block indices that actually captured `field`."""
+    have = sorted({k[1] for k in captures
+                   if captures[k].get(field) is not None})
+    if isinstance(block_idx, str):
+        if block_idx != "all":
+            raise ValueError(f"block_idx string must be 'all', got {block_idx!r}")
+        return have
+    if isinstance(block_idx, (list, tuple)):
+        want = {int(b) for b in block_idx}
+    else:
+        want = {int(block_idx)}
+    return [b for b in have if b in want]
+
+
 def plot_outlooker_locality_random(
     model, variables, loader,
     n_images: int = 2, seed: int = 0,
@@ -73,17 +123,23 @@ def plot_outlooker_locality_random(
     x = _pick_batch(loader, n_images, seed)
     captures = capture_attention(model, variables, jnp.asarray(x))
     paths = []
+    blocks = _blocks_to_plot(captures, "outlook_logits", block_idx)
     stage_keys = sorted(
         [k for k in captures if captures[k].get("outlook_logits") is not None
-         and k[1] == block_idx],
+         and k[1] in blocks],
         key=lambda k: (str(k[0]), k[1]),
     )
+    img_hw = (x.shape[1], x.shape[2])
     for key in stage_keys:
         logits = captures[key]["outlook_logits"]  # [B,Hs,Ws,heads,kk]
         w = _outlook_weights(logits)  # softmax over kk
         kk = w.shape[-1]
         k = int(round(np.sqrt(kk)))
         center_idx = kk // 2
+        # per-stage adaptive kernel color scale, capped (reference
+        # kernel_cap=0.15 semantics at our default cap 0.3)
+        kdev_all = np.abs(w.mean(3) - 1.0 / kk)
+        v_stage = max(min(float(kdev_all.max()), 0.3), 1e-6)
         fig, axes = plt.subplots(
             n_images, 6, figsize=(18, 3 * n_images), squeeze=False
         )
@@ -96,14 +152,12 @@ def plot_outlooker_locality_random(
             axes[b][0].imshow(img)
             axes[b][0].set_title("input")
             axes[b][1].imshow(img)
-            axes[b][1].imshow(
-                np.kron(center, np.ones((max(1, img.shape[0] // center.shape[0]),) * 2)),
-                alpha=0.6, cmap="magma")
+            axes[b][1].imshow(_upsample_map(center, img_hw),
+                              alpha=0.6, cmap="magma")
             axes[b][1].set_title("center weight")
             axes[b][2].imshow(img)
-            axes[b][2].imshow(
-                np.kron(spread, np.ones((max(1, img.shape[0] // spread.shape[0]),) * 2)),
-                alpha=0.6, cmap="viridis")
+            axes[b][2].imshow(_upsample_map(spread, img_hw),
+                              alpha=0.6, cmap="viridis")
             axes[b][2].set_title("spread (1-max)")
 
             ys, xs = np.unravel_index(np.argmax(spread), spread.shape)
@@ -115,14 +169,15 @@ def plot_outlooker_locality_random(
             ):
                 kern = wm[yy, xx].reshape(k, k) - 1.0 / kk
                 im = axes[b][3 + j].imshow(kern, cmap="coolwarm",
-                                           vmin=-0.3, vmax=0.3)
+                                           vmin=-v_stage, vmax=v_stage)
                 axes[b][3 + j].set_title(f"{ttl} ({yy},{xx})")
                 fig.colorbar(im, ax=axes[b][3 + j], fraction=0.046)
         fig.suptitle(f"Outlooker locality — stage {key[0]} block {key[1]}")
         fig.tight_layout()
         if out_dir:
             Path(out_dir).mkdir(parents=True, exist_ok=True)
-            p = Path(out_dir) / f"outlooker_stage{key[0]}.png"
+            suffix = "" if key[1] == 0 else f"_block{key[1]}"
+            p = Path(out_dir) / f"outlooker_stage{key[0]}{suffix}.png"
             fig.savefig(p, dpi=110)
             paths.append(str(p))
         if show:  # pragma: no cover
@@ -165,11 +220,13 @@ def plot_grid_attention_random(
     x = _pick_batch(loader, n_images, seed)
     captures = capture_attention(model, variables, jnp.asarray(x))
     paths = []
+    blocks = _blocks_to_plot(captures, "grid_attn", block_idx)
     stage_keys = sorted(
         [k for k in captures if captures[k].get("grid_attn") is not None
-         and k[1] == block_idx and isinstance(k[0], int)],
+         and k[1] in blocks and isinstance(k[0], int)],
         key=lambda k: k,
     )
+    img_hw = (x.shape[1], x.shape[2])
     for key in stage_keys:
         pack = captures[key]
         attn = pack["grid_attn"]
@@ -194,19 +251,21 @@ def plot_grid_attention_random(
             ):
                 hm = _grid_query_heatmap(attn, Hg, Wg, g, b, 0, 0, q)
                 hm = _box_smooth(hm, smooth_k)
-                up = max(1, img.shape[0] // hm.shape[0])
+                fm_hw = hm.shape
                 axes[b][1 + j].imshow(img)
-                axes[b][1 + j].imshow(np.kron(hm, np.ones((up, up))),
+                axes[b][1 + j].imshow(_upsample_map(hm, img_hw),
                                       alpha=0.6, cmap="magma")
                 qy, qx = (q // Wg) * g, (q % Wg) * g
-                axes[b][1 + j].scatter([qx * up], [qy * up], c="cyan", s=30,
+                mx, my = _fm_to_img_xy(qy, qx, fm_hw, img_hw)
+                axes[b][1 + j].scatter([mx], [my], c="cyan", s=30,
                                        marker="x")
                 axes[b][1 + j].set_title(ttl)
         fig.suptitle(f"Grid attention — stage {key[0]} block {key[1]} (g={g})")
         fig.tight_layout()
         if out_dir:
             Path(out_dir).mkdir(parents=True, exist_ok=True)
-            p = Path(out_dir) / f"grid_stage{key[0]}.png"
+            suffix = "" if key[1] == 0 else f"_block{key[1]}"
+            p = Path(out_dir) / f"grid_stage{key[0]}{suffix}.png"
             fig.savefig(p, dpi=110)
             paths.append(str(p))
         if show:  # pragma: no cover

@@ -25,6 +25,9 @@ _STATS = {
     "tinyimagenet200": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
     "tinyimagenet": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
     "synthetic": ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),
+    # datasets.get_synthetic_structured_dataloaders normalizes with
+    # mean 0.5 / std 0.25
+    "synthetic_structured": ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25)),
 }
 
 
@@ -45,7 +48,10 @@ def main() -> int:
     ap.add_argument("--out-dir", default="analysis_out")
     ap.add_argument("--n-images", type=int, default=8)
     ap.add_argument("--seed", type=int, default=10)
-    ap.add_argument("--block", type=int, default=0)
+    ap.add_argument("--block", default="0",
+                    help="block index within each stage, or 'all' to sweep "
+                         "every captured block (plots only; MAD metrics use "
+                         "block 0 when 'all')")
     ap.add_argument("--skip-plots", action="store_true")
     ap.add_argument("--entropy", action="store_true", help="also compute entropy")
     args = ap.parse_args()
@@ -96,22 +102,24 @@ def main() -> int:
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    plot_block = args.block if args.block == "all" else int(args.block)
+    metric_block = 0 if args.block == "all" else int(args.block)
     if not args.skip_plots:
         p1 = plot_outlooker_locality_random(
             model, variables, loader, n_images=min(2, args.n_images),
             seed=args.seed, mean=mean, std=std, out_dir=str(out_dir),
-            block_idx=args.block)
+            block_idx=plot_block)
         p2 = plot_grid_attention_random(
             model, variables, loader, n_images=min(2, args.n_images),
             seed=args.seed, mean=mean, std=std, out_dir=str(out_dir),
-            block_idx=args.block)
+            block_idx=plot_block)
         print("Saved plots:", *p1, *p2, sep="\n  ")
 
     stages = tuple(range(len(model_cfg.get("stages", []))))
     compute = (compute_grid_and_outlooker_mad_entropy_by_stage
                if args.entropy else compute_grid_and_outlooker_mad_by_stage)
     rows = compute(
-        model, variables, loader, block_idx=args.block, stages=stages,
+        model, variables, loader, block_idx=metric_block, stages=stages,
         n_images=args.n_images, seed=args.seed)
 
     # write JSON + CSV (reference `run_attention_analysis.py:146-158`)

@@ -122,3 +122,47 @@ def test_plots_write_files(setup, tmp_path):
         import os
 
         assert os.path.getsize(p) > 1000
+
+
+def test_upsample_map_matches_torch_bilinear():
+    """_upsample_map reproduces the reference's F.interpolate(bilinear,
+    align_corners=False) exactly, including non-divisible shapes."""
+    import torch
+    import torch.nn.functional as F
+
+    from outgridvit_tpu.experiments.heatmaps import _upsample_map
+
+    rng = np.random.default_rng(0)
+    for fm, out in [((4, 4), (8, 8)), ((4, 4), (9, 9)), ((3, 5), (10, 14)),
+                    ((8, 8), (8, 8))]:
+        m = rng.standard_normal(fm).astype(np.float32)
+        got = _upsample_map(m, out)
+        want = F.interpolate(torch.from_numpy(m)[None, None], size=out,
+                             mode="bilinear", align_corners=False)[0, 0]
+        np.testing.assert_allclose(got, want.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_plots_block_sweep(setup, tmp_path):
+    """block_idx='all' sweeps every captured block per stage (the
+    reference plots per (stage, block) — heat_map_att_outlooker.py:209)."""
+    model, variables, x = setup
+    from outgridvit_tpu.experiments.heatmaps import (
+        plot_grid_attention_random,
+        plot_outlooker_locality_random,
+    )
+
+    loader, _, _ = get_synthetic_dataloaders(batch_size=4, num_samples=8,
+                                             img_size=8, num_classes=10,
+                                             seed=0)
+    p1 = plot_outlooker_locality_random(
+        model, variables, loader, n_images=1, seed=0,
+        mean=(0, 0, 0), std=(1, 1, 1), out_dir=str(tmp_path),
+        block_idx="all")
+    p2 = plot_grid_attention_random(
+        model, variables, loader, n_images=1, seed=0,
+        mean=(0, 0, 0), std=(1, 1, 1), out_dir=str(tmp_path),
+        block_idx="all")
+    # stage 0 has depth 2 -> blocks 0 and 1; stage 1 depth 1 -> block 0
+    assert any(p.endswith("outlooker_stage0.png") for p in p1)
+    assert any(p.endswith("outlooker_stage0_block1.png") for p in p1)
+    assert len(p1) == 3 and len(p2) == 3
