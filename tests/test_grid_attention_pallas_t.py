@@ -144,8 +144,11 @@ def test_probe_cache_roundtrip_and_dispatch_verdicts(monkeypatch, tmp_path):
     gat.attn_kernel_feasible.cache_clear()
 
     # poison the cache: "t" infeasible, "th" feasible for a fake shape
-    gat._probe_disk_save("tpu:t:4096:16:256:8:bfloat16", False)
-    gat._probe_disk_save("tpu:th:4096:16:256:8:bfloat16", True)
+    # (verdicts are keyed per device generation — probe_cache.cached_probe
+    # appends the device-kind tag, so the poison must too)
+    tag = pc._device_kind_tag()
+    gat._probe_disk_save(f"tpu:t:4096:16:256:8:bfloat16:{tag}", False)
+    gat._probe_disk_save(f"tpu:th:4096:16:256:8:bfloat16:{tag}", True)
 
     # a fresh process would re-read from disk
     monkeypatch.setattr(pc, "_PROBE_DISK", None)
