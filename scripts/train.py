@@ -61,6 +61,11 @@ def parse_args() -> argparse.Namespace:
     parser.add_argument(
         "--dist-process-id", type=int, default=None,
         help="this process's id in [0, num_processes)")
+    parser.add_argument(
+        "--history-out", default=None,
+        help="pickle the training history dict after the run (the "
+             "reference's notebooks pickle the same dict into "
+             "experiments_results/Convergance/; utils/history.py loads it)")
     return parser.parse_args()
 
 
@@ -217,6 +222,11 @@ def main() -> int:
     )
 
     if is_main_process():
+        if args.history_out:
+            from outgridvit_tpu.utils.history import save_history
+
+            save_history(history, args.history_out)
+            print(f"History saved to {args.history_out}")
         print("Training complete. History keys:", sorted(history.keys()))
     return 0
 
