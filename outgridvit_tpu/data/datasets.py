@@ -317,6 +317,36 @@ def get_tinyimagenet200_hf_dataloaders(
 
 # ----------------------------------------------------------------- synthetic
 
+def synth_structured_arrays(
+    num_samples: int,
+    img_size: int = 32,
+    num_classes: int = 100,
+    seed: int = 7,
+    noise: float = 80.0,
+    proto_seed: int = 7,
+):
+    """Raw uint8 draws from the learnable structured generator (same recipe
+    as ``get_synthetic_structured_dataloaders``). Exposed separately so
+    cross-framework harnesses (``scripts/epoch_parity.py``) can feed the
+    IDENTICAL dataset to this framework and to the PyTorch reference.
+    ``proto_seed`` fixes the class prototypes while ``seed`` varies the
+    sample draw, so disjoint train/val splits share the generative process."""
+    proto_rng = np.random.default_rng(proto_seed)
+    small = proto_rng.uniform(40, 215, (num_classes, 8, 8, 3))
+    reps = img_size // 8 + (img_size % 8 > 0)
+    protos = np.kron(small, np.ones((1, reps, reps, 1)))[:, :img_size,
+                                                         :img_size]
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, num_classes, size=(num_samples,)).astype(np.int64)
+    x = protos[y]
+    x = x + rng.normal(0.0, noise, x.shape)
+    x = x + rng.uniform(-25, 25, (num_samples, 1, 1, 1))
+    shift = rng.integers(-4, 5, size=(num_samples, 2))
+    x = np.stack([np.roll(im, tuple(s), axis=(0, 1))
+                  for im, s in zip(x, shift)])
+    return np.clip(x, 0, 255).astype(np.uint8), y
+
+
 def get_synthetic_structured_dataloaders(
     batch_size: int = 128,
     num_samples: int = 51200,
