@@ -180,7 +180,7 @@ class MultiHeadSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, capture: bool = False,
-                 ln=None):
+                 ln=None, nhwc_grid: Optional[int] = None):
         if self.dim <= 0:
             raise ValueError("dim must be > 0")
         if self.num_heads <= 0:
@@ -189,6 +189,22 @@ class MultiHeadSelfAttention(nn.Module):
             raise ValueError(
                 f"dim ({self.dim}) must be divisible by num_heads ({self.num_heads})"
             )
+        # nhwc_grid: x is the raw [B, H, W, C] map and this module owns the
+        # dilated grid partition (GridAttention2D passes it down so the
+        # fused branch kernel can fold the partition into its BlockSpecs —
+        # ops/attn_branch_nhwc_pallas.py — skipping the 6-D layout copies).
+        # Every non-fused path partitions here and unpartitions on return;
+        # parameters and math are identical either way.
+        x_nhwc = None
+        unpartition_meta = None
+        if nhwc_grid is not None:
+            if x.ndim != 4:
+                raise ValueError(
+                    f"nhwc_grid set: expected NHWC. Got {tuple(x.shape)}")
+            x_nhwc = x
+            grids, unpartition_meta = grid_partition(x, nhwc_grid)
+            Bg, Hg, Wg, _ = grids.shape
+            x = grids.reshape(Bg, Hg * Wg, grids.shape[-1])
         if x.ndim != 3:
             raise ValueError(f"Expected [B, N, C]. Got {tuple(x.shape)}")
         B, N, C = x.shape
@@ -280,10 +296,40 @@ class MultiHeadSelfAttention(nn.Module):
                     eps, apply_ln = 1e-5, False
                 bq = (bqkv if bqkv is not None
                       else jnp.zeros((3 * C,), jnp.float32))
-                out = attn_branch_pallas(
-                    x.astype(dt), ls, lb, wqkv.astype(dt), bq.astype(dt),
-                    wproj.astype(dt), bproj.astype(dt), heads, float(eps),
-                    apply_ln)
+                # NHWC-direct variant: same branch math, partition folded
+                # into the kernel's BlockSpecs (no XLA layout copies).
+                # OFF by default: same-window A/Bs on TIN-64 lose 792 vs
+                # 838 imgs/s at both the default and a doubled fwd tile
+                # budget (docs/evidence/campaign_r4/ab_nhwc_tin64.json) —
+                # the in-VMEM window shuffle serializes work the XLA
+                # copies overlap with neighboring ops. Opt-in A/B knob:
+                # OUTGRIDVIT_FUSED_ATTN_NHWC=1.
+                use_nhwc = (
+                    x_nhwc is not None
+                    and os.environ.get("OUTGRIDVIT_FUSED_ATTN_NHWC", "0")
+                    in ("1", "true")
+                )
+                if use_nhwc:
+                    from outgridvit_tpu.ops.experimental.attn_branch_nhwc_pallas import (  # noqa: E501
+                        attn_branch_nhwc_feasible,
+                        attn_branch_nhwc_pallas,
+                    )
+
+                    Bi, Hi, Wi, _ = x_nhwc.shape
+                    use_nhwc = attn_branch_nhwc_feasible(
+                        Bi, Hi, Wi, C, heads, nhwc_grid,
+                        jnp.dtype(dt).name, apply_ln)
+                if use_nhwc:
+                    out = attn_branch_nhwc_pallas(
+                        x_nhwc.astype(dt), ls, lb, wqkv.astype(dt),
+                        bq.astype(dt), wproj.astype(dt), bproj.astype(dt),
+                        heads, nhwc_grid, float(eps), apply_ln)
+                    unpartition_meta = None  # already NHWC
+                else:
+                    out = attn_branch_pallas(
+                        x.astype(dt), ls, lb, wqkv.astype(dt), bq.astype(dt),
+                        wproj.astype(dt), bproj.astype(dt), heads, float(eps),
+                        apply_ln)
             else:
                 # small grids (N<=16, i.e. every stage of the 32px models):
                 # lane-batched VPU kernel in XLA's own transposed layout
@@ -343,6 +389,11 @@ class MultiHeadSelfAttention(nn.Module):
                              ).astype(qkv.dtype)
             out = out.reshape(B, N, C)
             out = out @ wproj.astype(dt) + bproj.astype(dt)
+        if unpartition_meta is not None:
+            _, _, _, _, g_ = unpartition_meta
+            Hg_, Wg_ = unpartition_meta[1] // g_, unpartition_meta[2] // g_
+            out = grid_unpartition(out.reshape(B, Hg_, Wg_, C),
+                                   unpartition_meta)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 
@@ -375,11 +426,11 @@ class GridAttention2D(nn.Module):
             raise ValueError(f"Expected C=={self.dim}. Got C={C}")
         g = self.grid_size
         # LN is per-token, so it commutes with the partition; passing it
-        # down lets the MHSA fuse it into the Pallas branch kernel.
-        grids, meta = grid_partition(x, g)
-        Bgrp, Hg, Wg, _ = grids.shape
-        tokens = grids.reshape(Bgrp, Hg * Wg, C)
-        tokens = MultiHeadSelfAttention(
+        # down lets the MHSA fuse it into the Pallas branch kernel. The
+        # partition itself is owned by the MHSA (nhwc_grid): the fused
+        # branch kernel folds it into its BlockSpecs and every other path
+        # partitions/unpartitions internally with identical semantics.
+        return MultiHeadSelfAttention(
             dim=C,
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
@@ -388,9 +439,8 @@ class GridAttention2D(nn.Module):
             use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="mhsa",
-        )(tokens, deterministic=deterministic, capture=capture, ln=ln)
-        grids = tokens.reshape(Bgrp, Hg, Wg, C)
-        return grid_unpartition(grids, meta)
+        )(x, deterministic=deterministic, capture=capture, ln=ln,
+          nhwc_grid=g)
 
 
 class OutlookerBlock2d(nn.Module):

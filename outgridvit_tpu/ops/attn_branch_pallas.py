@@ -55,70 +55,76 @@ def _layernorm_fp32(x, ls, lb, eps):
     return (x32 - mu) * mul + lb, mu, rstd
 
 
-def _fwd_kernel(mask_ref, x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
-                wp_ref, bp_ref, o_ref, *, heads: int, scale: float,
-                eps: float, apply_ln: bool):
-    x = x_ref[...]
+def _rows_fwd(x, ls, lb, wqkv, bqkv, wp, bp, mask, *, heads: int,
+              scale: float, eps: float, apply_ln: bool):
+    """Whole-branch forward on a VMEM-resident tile of token groups.
+
+    x: [gt, PN, C]; ls/lb: [1, C] fp32; weights as in the public API;
+    mask: [PN, PN] additive fp32 block-diag packing mask, or ``None`` when
+    every group is exactly one attention window (the NHWC kernel). Shared
+    by the token-layout and NHWC-layout pallas kernels so the math has one
+    source of truth. Returns [gt, PN, C] in x.dtype.
+    """
     gt, PN, C = x.shape
     if apply_ln:
-        xn, _, _ = _layernorm_fp32(x, ls_ref[...].reshape(1, 1, C),
-                                   lb_ref[...].reshape(1, 1, C), eps)
+        xn, _, _ = _layernorm_fp32(x, ls.reshape(1, 1, C),
+                                   lb.reshape(1, 1, C), eps)
         xn = xn.astype(x.dtype)
     else:
         xn = x
     x2 = xn.reshape(gt * PN, C)
-    qkv = jnp.dot(x2, wqkv_ref[...], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)
-    out = _attn_tile(qkv.reshape(gt, PN, 3 * C), heads, scale, mask_ref[...])
-    o2 = jnp.dot(out.reshape(gt * PN, C), wp_ref[...],
+    qkv = jnp.dot(x2, wqkv, preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv.astype(jnp.float32)).astype(x.dtype)
+    out = _attn_tile(qkv.reshape(gt, PN, 3 * C), heads, scale,
+                     0.0 if mask is None else mask)
+    o2 = jnp.dot(out.reshape(gt * PN, C), wp,
                  preferred_element_type=jnp.float32)
-    o_ref[...] = (o2 + bp_ref[...].astype(jnp.float32)).astype(
-        x.dtype).reshape(gt, PN, C)
+    return (o2 + bp.astype(jnp.float32)).astype(x.dtype).reshape(gt, PN, C)
 
 
-def _bwd_kernel(mask_ref, x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
-                wp_ref, bp_ref, dy_ref,
-                dx_ref, dls_ref, dlb_ref, dwqkv_ref, dbqkv_ref,
-                dwp_ref, dbp_ref, *, heads: int, scale: float, eps: float,
-                apply_ln: bool):
-    i = pl.program_id(0)
+def _fwd_kernel(mask_ref, x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
+                wp_ref, bp_ref, o_ref, *, heads: int, scale: float,
+                eps: float, apply_ln: bool):
+    o_ref[...] = _rows_fwd(
+        x_ref[...], ls_ref[...], lb_ref[...], wqkv_ref[...], bqkv_ref[...],
+        wp_ref[...], bp_ref[...], mask_ref[...], heads=heads, scale=scale,
+        eps=eps, apply_ln=apply_ln)
 
-    @pl.when(i == 0)
-    def _init():
-        dls_ref[...] = jnp.zeros_like(dls_ref)
-        dlb_ref[...] = jnp.zeros_like(dlb_ref)
-        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
-        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
-        dwp_ref[...] = jnp.zeros_like(dwp_ref)
-        dbp_ref[...] = jnp.zeros_like(dbp_ref)
 
-    x = x_ref[...]
+def _rows_bwd(x, ls, lb, wqkv, bqkv, wp, bp, dy, mask, *, heads: int,
+              scale: float, eps: float, apply_ln: bool):
+    """Whole-branch backward (recompute style) on a VMEM tile.
+
+    Same tile layout/contract as :func:`_rows_fwd` (``dy`` like ``x``;
+    ``mask`` may be ``None``). Returns the tile's gradient contributions
+    ``(dx [gt,PN,C] in x.dtype, dls [1,C], dlb [1,C], dwqkv [C,3C],
+    dbqkv [1,3C], dwp [C,C], dbp [1,C])`` — parameter grads in fp32, to be
+    accumulated by the caller across the sequential pallas grid.
+    """
     gt, PN, C = x.shape
     rows = gt * PN
     cdt = x.dtype
-    mask = mask_ref[...]
 
     # ---- recompute forward up to qkv ----
     if apply_ln:
-        xn32, mu, rstd = _layernorm_fp32(x, ls_ref[...].reshape(1, 1, C),
-                                         lb_ref[...].reshape(1, 1, C), eps)
+        xn32, mu, rstd = _layernorm_fp32(x, ls.reshape(1, 1, C),
+                                         lb.reshape(1, 1, C), eps)
         xhat2 = ((x.astype(jnp.float32) - mu) * rstd).reshape(rows, C)
         xnb = xn32.astype(cdt)
     else:
         xnb = x
     x2 = xnb.reshape(rows, C)
-    qkv = jnp.dot(x2, wqkv_ref[...], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(cdt)
+    qkv = jnp.dot(x2, wqkv, preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv.astype(jnp.float32)).astype(cdt)
     q3 = qkv.reshape(gt, PN, 3 * C)
     hd = C // heads
 
     # ---- proj backward ----
-    dy2 = dy_ref[...].reshape(rows, C)
-    dbp_ref[...] += jnp.sum(dy2.astype(jnp.float32), axis=0,
-                            keepdims=True)
+    dy2 = dy.reshape(rows, C)
+    dbp = jnp.sum(dy2.astype(jnp.float32), axis=0, keepdims=True)
     # dout = dy @ Wp^T   (y = out @ Wp)
     dout2 = jax.lax.dot_general(
-        dy2, wp_ref[...],
+        dy2, wp,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(cdt)
@@ -134,7 +140,9 @@ def _bwd_kernel(mask_ref, x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
         doh = do3[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
         logits = jax.lax.dot_general(
             qh, kh, dimension_numbers=bd,
-            preferred_element_type=jnp.float32) * scale + mask
+            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            logits = logits + mask
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         a = e / jnp.sum(e, axis=-1, keepdims=True)  # [gt, PN, PN] f32
@@ -167,7 +175,7 @@ def _bwd_kernel(mask_ref, x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
 
     # dWp = out^T @ dy over all rows of the tile
     out2 = jnp.concatenate(outs_h, axis=-1).reshape(rows, C)
-    dwp_ref[...] += jax.lax.dot_general(
+    dwp = jax.lax.dot_general(
         out2, dy2, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
@@ -176,29 +184,61 @@ def _bwd_kernel(mask_ref, x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
     dqkvb = dqkv2.astype(cdt)
 
     # ---- qkv-projection backward ----
-    dwqkv_ref[...] += jax.lax.dot_general(
+    dwqkv = jax.lax.dot_general(
         x2, dqkvb, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dbqkv_ref[...] += jnp.sum(dqkv2, axis=0, keepdims=True)
+    dbqkv = jnp.sum(dqkv2, axis=0, keepdims=True)
     dxn2 = jax.lax.dot_general(
-        dqkvb, wqkv_ref[...],
+        dqkvb, wqkv,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [rows, C] f32
 
     # ---- LN backward ----
     if apply_ln:
-        dls_ref[...] += jnp.sum(dxn2 * xhat2, axis=0, keepdims=True)
-        dlb_ref[...] += jnp.sum(dxn2, axis=0, keepdims=True)
-        dxhat = (dxn2 * ls_ref[...].astype(jnp.float32)).reshape(gt, PN, C)
+        dls = jnp.sum(dxn2 * xhat2, axis=0, keepdims=True)
+        dlb = jnp.sum(dxn2, axis=0, keepdims=True)
+        dxhat = (dxn2 * ls.astype(jnp.float32)).reshape(gt, PN, C)
         xhat3 = xhat2.reshape(gt, PN, C)
         dx = rstd * (
             dxhat
             - jnp.mean(dxhat, axis=-1, keepdims=True)
             - xhat3 * jnp.mean(dxhat * xhat3, axis=-1, keepdims=True)
         )
-        dx_ref[...] = dx.astype(cdt)
+        dx = dx.astype(cdt)
     else:
-        dx_ref[...] = dxn2.reshape(gt, PN, C).astype(cdt)
+        dls = jnp.zeros((1, C), jnp.float32)
+        dlb = jnp.zeros((1, C), jnp.float32)
+        dx = dxn2.reshape(gt, PN, C).astype(cdt)
+    return dx, dls, dlb, dwqkv, dbqkv, dwp, dbp
+
+
+def _bwd_kernel(mask_ref, x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref,
+                wp_ref, bp_ref, dy_ref,
+                dx_ref, dls_ref, dlb_ref, dwqkv_ref, dbqkv_ref,
+                dwp_ref, dbp_ref, *, heads: int, scale: float, eps: float,
+                apply_ln: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dls_ref[...] = jnp.zeros_like(dls_ref)
+        dlb_ref[...] = jnp.zeros_like(dlb_ref)
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
+
+    dx, dls, dlb, dwqkv, dbqkv, dwp, dbp = _rows_bwd(
+        x_ref[...], ls_ref[...], lb_ref[...], wqkv_ref[...], bqkv_ref[...],
+        wp_ref[...], bp_ref[...], dy_ref[...], mask_ref[...], heads=heads,
+        scale=scale, eps=eps, apply_ln=apply_ln)
+    dx_ref[...] = dx
+    dls_ref[...] += dls
+    dlb_ref[...] += dlb
+    dwqkv_ref[...] += dwqkv
+    dbqkv_ref[...] += dbqkv
+    dwp_ref[...] += dwp
+    dbp_ref[...] += dbp
 
 
 def _env_kib(name: str, default_kib: int) -> int:
