@@ -253,8 +253,16 @@ def attn_kernel_feasible(kind: str, G: int, N: int, C: int, heads: int,
         return jnp.sum(fn(x, heads).astype(jnp.float32))
 
     spec = jax.ShapeDtypeStruct((G, N, 3 * C), jnp.dtype(dtype_str))
+    # The VMEM tile budgets change the compiled kernel, so they are part
+    # of the verdict's identity — without them a cached "feasible" from
+    # the default budget lets an oversized override (e.g.
+    # OUTGRIDVIT_ATTN_T_BWD_KIB=14336, whose bwd stack needs 21.2 MiB of
+    # the chip's 16 MiB scoped VMEM) crash the real compile instead of
+    # falling back to the block-packed kernel.
     return cached_probe(
-        f"tpu:{kind}:{G}:{N}:{C}:{heads}:{dtype_str}",
+        f"tpu:{kind}:{G}:{N}:{C}:{heads}:{dtype_str}:"
+        f"{_env_kib('OUTGRIDVIT_ATTN_T_FWD_KIB', 10240)}:"
+        f"{_env_kib('OUTGRIDVIT_ATTN_T_BWD_KIB', 10240)}",
         lambda: jax.jit(jax.grad(loss)).lower(spec).compile())
 
 

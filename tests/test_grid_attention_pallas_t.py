@@ -144,11 +144,17 @@ def test_probe_cache_roundtrip_and_dispatch_verdicts(monkeypatch, tmp_path):
     gat.attn_kernel_feasible.cache_clear()
 
     # poison the cache: "t" infeasible, "th" feasible for a fake shape
-    # (verdicts are keyed per device generation — probe_cache.cached_probe
-    # appends the device-kind tag, so the poison must too)
+    # (verdicts are keyed per device generation AND per VMEM tile budget —
+    # probe_cache.cached_probe appends the device-kind tag and
+    # attn_kernel_feasible appends the FWD/BWD budget KiBs, so the poison
+    # must too)
     tag = pc._device_kind_tag()
-    gat._probe_disk_save(f"tpu:t:4096:16:256:8:bfloat16:{tag}", False)
-    gat._probe_disk_save(f"tpu:th:4096:16:256:8:bfloat16:{tag}", True)
+    budgets = (f"{gat._env_kib('OUTGRIDVIT_ATTN_T_FWD_KIB', 10240)}:"
+               f"{gat._env_kib('OUTGRIDVIT_ATTN_T_BWD_KIB', 10240)}")
+    gat._probe_disk_save(f"tpu:t:4096:16:256:8:bfloat16:{budgets}:{tag}",
+                         False)
+    gat._probe_disk_save(f"tpu:th:4096:16:256:8:bfloat16:{budgets}:{tag}",
+                         True)
 
     # a fresh process would re-read from disk
     monkeypatch.setattr(pc, "_PROBE_DISK", None)
