@@ -223,6 +223,10 @@ def main() -> int:
                 "value": round(per_chip, 1),
                 "unit": "imgs/s",
                 "vs_baseline": round(per_chip / BASELINE_IMGS_PER_SEC, 3),
+                # estimator provenance (ADVICE r4): rounds 1-3 were
+                # single-leg; r4+ take min wall-time over BENCH_LEGS legs
+                "legs": legs,
+                "estimator": "min_time_of_legs",
                 **roof,
             }
         )

@@ -330,8 +330,12 @@ def synth_structured_arrays(
     cross-framework harnesses (``scripts/epoch_parity.py``) can feed the
     IDENTICAL dataset to this framework and to the PyTorch reference.
     ``proto_seed`` fixes the class prototypes while ``seed`` varies the
-    sample draw, so disjoint train/val splits share the generative process."""
-    proto_rng = np.random.default_rng(proto_seed)
+    sample draw, so disjoint train/val splits share the generative process.
+    The prototype stream is derived from ``(proto_seed, "protos")`` so that
+    ``proto_seed == seed`` (the common case) does NOT replay the identical
+    bit stream for prototypes and sample noise."""
+    proto_rng = np.random.default_rng(
+        np.random.SeedSequence((proto_seed, 0x70726F74)))  # "prot"
     small = proto_rng.uniform(40, 215, (num_classes, 8, 8, 3))
     reps = img_size // 8 + (img_size % 8 > 0)
     protos = np.kron(small, np.ones((1, reps, reps, 1)))[:, :img_size,

@@ -390,8 +390,8 @@ class MultiHeadSelfAttention(nn.Module):
             out = out.reshape(B, N, C)
             out = out @ wproj.astype(dt) + bproj.astype(dt)
         if unpartition_meta is not None:
-            _, _, _, _, g_ = unpartition_meta
-            Hg_, Wg_ = unpartition_meta[1] // g_, unpartition_meta[2] // g_
+            _, H_, W_, _, g_ = unpartition_meta  # (B, H, W, C, g)
+            Hg_, Wg_ = H_ // g_, W_ // g_
             out = grid_unpartition(out.reshape(B, Hg_, Wg_, C),
                                    unpartition_meta)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)

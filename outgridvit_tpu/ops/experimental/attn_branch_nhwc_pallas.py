@@ -141,7 +141,8 @@ def attn_branch_nhwc_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 def _geom(x, heads, g):
     B, H, W, C = x.shape
     if H % g or W % g:
-        raise ValueError(f"H/W must divide grid_size; got {H}x{W}, g={g}")
+        raise ValueError(
+            f"H and W must be divisible by grid_size; got {H}x{W}, g={g}")
     Hg, Wg = H // g, W // g
     return B, H, W, C, Hg, Wg, Hg * Wg, (C // heads) ** -0.5
 
