@@ -16,12 +16,31 @@ stronger reproducibility than the reference's per-worker reseeding.
 
 from __future__ import annotations
 
+import itertools
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, Optional, Tuple
 
 import numpy as np
+
+
+def peek_loader(loader):
+    """Peek the first batch without losing it.
+
+    Returns ``(first_batch, iterable)`` where ``iterable`` is what callers
+    should iterate afterwards: the loader itself when it is re-iterable
+    (``iter(loader)`` returns a fresh iterator, e.g. ``ArrayDataLoader``),
+    or the peeked batch chained back in front when the loader is a one-shot
+    iterator (``iter(loader) is iter(loader)``), so no batch is silently
+    dropped. Shape probes in entry points must use this instead of
+    ``next(iter(loader))`` (the contract `tests/test_training_smoke.py`
+    pins for the train loop)."""
+    it = iter(loader)
+    first = next(it)
+    if iter(loader) is it:  # one-shot iterator: re-queue the peeked batch
+        return first, itertools.chain([first], it)
+    return first, loader
 
 
 class ArrayDataLoader:

@@ -85,8 +85,10 @@ def main() -> int:
     loader = test or train  # synthetic builder only returns a train loader
     normalize = getattr(loader, "device_normalize", None)
 
+    from outgridvit_tpu.data.pipeline import peek_loader
+
     model = build_model(model_cfg, dtype=jnp.bfloat16)
-    x0, _ = next(iter(loader))
+    (x0, _), loader = peek_loader(loader)  # shape probe, no batch lost
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     jnp.zeros(x0.shape, jnp.float32))
     state = TrainState.create(

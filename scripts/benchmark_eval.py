@@ -70,7 +70,9 @@ def main() -> int:
     loader = {"train": train, "val": val or test or train,
               "test": test or train}[args.split]
 
-    x0, _ = next(iter(loader))
+    from outgridvit_tpu.data.pipeline import peek_loader
+
+    (x0, _), loader_iter = peek_loader(loader)  # shape probe, no batch lost
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     jnp.zeros(x0.shape, jnp.float32))
     state = TrainState.create(
@@ -94,7 +96,7 @@ def main() -> int:
     eval_superstep = (make_eval_superstep(model.apply, normalize=normalize)
                       if k > 1 else None)
     metrics = evaluate_one_epoch_logs(
-        eval_step, state, loader, data_shard=batch_sharding(mesh),
+        eval_step, state, loader_iter, data_shard=batch_sharding(mesh),
         model_fn=lambda x: model.apply(
             {"params": state.params, "batch_stats": state.batch_stats}, x),
         example_batch=jnp.zeros(x0.shape, jnp.float32),

@@ -81,8 +81,10 @@ def main() -> int:
                                 seed=int(cfg.get("runtime", {}).get("seed", 7)))
     loader = _pick_loader(loaders, args.split)
 
-    # init / restore variables
-    x0, _ = next(iter(loader))
+    # init / restore variables (peek keeps one-shot loaders whole)
+    from outgridvit_tpu.data.pipeline import peek_loader
+
+    (x0, _), loader = peek_loader(loader)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     jnp.zeros(x0.shape, jnp.float32))
     if args.checkpoint:

@@ -257,3 +257,37 @@ def test_synthetic_structured_loaders():
     same = ys[:, None] == ys[None, :]
     off = ~np.eye(len(xs), dtype=bool)
     assert d[same & off].mean() < d[~same].mean()
+
+
+def test_peek_loader_one_shot_and_reiterable():
+    """peek_loader (data/pipeline.py) must not drop the peeked batch for
+    one-shot iterator loaders, and must hand back the loader itself when it
+    is re-iterable — the same contract train_model honors
+    (test_one_shot_iterator_loader_trains_all_batches) extended to every
+    entry point's shape probe (scripts/benchmark_eval.py,
+    scripts/run_attention_analysis.py, scripts/ab_eval_k.py)."""
+    import numpy as np
+
+    from outgridvit_tpu.data.pipeline import ArrayDataLoader, peek_loader
+
+    batches = [(np.full((2, 4, 4, 3), i, np.float32), np.array([i, i]))
+               for i in range(3)]
+
+    class OneShot:
+        def __init__(self):
+            self._it = iter(batches)
+
+        def __iter__(self):
+            return self._it
+
+    first, it = peek_loader(OneShot())
+    assert first[1][0] == 0
+    seen = [int(y[0]) for _, y in it]
+    assert seen == [0, 1, 2]  # peeked batch re-queued, nothing lost
+
+    imgs = np.zeros((6, 4, 4, 3), np.uint8)
+    labels = np.arange(6)
+    loader = ArrayDataLoader(imgs, labels, batch_size=2, num_threads=1)
+    first, it2 = peek_loader(loader)
+    assert it2 is loader  # re-iterable: caller iterates the loader fresh
+    assert sum(len(y) for _, y in it2) == 6
