@@ -4,8 +4,12 @@ nproc==1) on a deterministic synthetic dataset and write the resulting
 history + a parameter checksum from process 0.
 
 Spawned as: python mp_train_worker.py <pid> <nproc> <port> <outdir>
+                 [epochs] [tag] [resume_path]
 with JAX_PLATFORMS=cpu and XLA_FLAGS forcing the per-process device count
-set by the spawner. Not named test_* so pytest does not collect it.
+set by the spawner. ``tag`` keys the checkpoint/result file names (default
+"{nproc}p"); ``resume_path`` exercises resume-under-multi-process (the
+reference's resume semantics, `train_full_model.py:86-103`, in a world
+the reference never had). Not named test_* so pytest does not collect it.
 """
 
 import json
@@ -21,6 +25,9 @@ if str(ROOT) not in sys.path:
 def main() -> int:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     outdir = Path(sys.argv[4])
+    epochs = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+    tag = sys.argv[6] if len(sys.argv) > 6 else f"{nproc}p"
+    resume_path = sys.argv[7] if len(sys.argv) > 7 else None
 
     import jax
 
@@ -72,13 +79,14 @@ def main() -> int:
     history, state = train_model(
         model=model,
         train_loader=train_loader,
-        epochs=2,
+        epochs=epochs,
         val_loader=val_loader,
         use_amp=False,
         grad_clip_norm=1.0,
         print_every=0,
-        save_path=str(outdir / f"best_{nproc}p.ckpt"),
-        last_path=str(outdir / f"last_{nproc}p.ckpt"),
+        save_path=str(outdir / f"best_{tag}.ckpt"),
+        last_path=str(outdir / f"last_{tag}.ckpt"),
+        resume_path=resume_path,
         mixup_alpha=0.2,
         cutmix_alpha=1.0,
         mix_prob=0.5,
@@ -93,13 +101,13 @@ def main() -> int:
         checksum = float(sum(
             np.abs(np.asarray(replicate_to_host(leaf))).sum()
             for leaf in jax.tree_util.tree_leaves(state.params)))
-        (outdir / f"result_{nproc}p.json").write_text(json.dumps({
+        (outdir / f"result_{tag}.json").write_text(json.dumps({
             "train_loss": history["train_loss"],
             "val_loss": history["val_loss"],
             "val_top1": history["val_top1"],
             "step": int(state.step),
             "param_checksum": checksum,
-            "ckpt_exists": (outdir / f"last_{nproc}p.ckpt").exists(),
+            "ckpt_exists": (outdir / f"last_{tag}.ckpt").exists(),
         }))
     else:
         # non-zero processes participate in the collective parts of the
