@@ -205,16 +205,36 @@ def main() -> int:
     # program timed above (compile hits the executable cache). The
     # reference publishes FLOPs with every number (eval_one_epoch_logs);
     # here the roofline says whether the step is compute- or HBM-bound.
-    from outgridvit_tpu.utils.roofline import compiled_cost, roofline_report
+    from outgridvit_tpu.utils.roofline import (
+        chip_peaks,
+        compiled_cost,
+        compiled_hbm_traffic,
+        roofline_report,
+    )
 
     if not real_loader:
         cost_batch = batches[0]
     flops_d, bytes_d = compiled_cost(step_fn, state, cost_batch, base)
     # normalize the K-step dispatch to per-train-step quantities
+    step_s = dt / (n_dispatch * k_disp)
     roof = roofline_report(
         flops_d / k_disp if flops_d else None,
         bytes_d / k_disp if bytes_d else None,
-        dt / (n_dispatch * k_disp), n_chips=n_chips)
+        step_s, n_chips=n_chips)
+    # MEASURED-program bytes (round-4 verdict ask): account the optimized
+    # HLO's top-level buffers — the cost model above excludes materialized
+    # intermediates, so its hbm_util is a floor. The scan body is counted
+    # k_disp times (its known trip count).
+    traffic = compiled_hbm_traffic(step_fn, state, cost_batch, base,
+                                   default_trip=k_disp)
+    if traffic and traffic.get("total_bytes"):
+        bytes_per_step = traffic["total_bytes"] / k_disp
+        _, peak_bw, _ = chip_peaks()
+        roof["bytes_per_step_hlo"] = bytes_per_step
+        roof["hbm_util_measured"] = (
+            round(bytes_per_step / max(step_s, 1e-12) / peak_bw
+                  / max(1, n_chips), 4) if peak_bw else None)
+        roof["traffic_source"] = "optimized_hlo_buffer_accounting"
     print(
         json.dumps(
             {

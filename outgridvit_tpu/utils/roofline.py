@@ -18,7 +18,8 @@ Unknown device kinds degrade to ``mfu=None`` rather than guessing.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import re
+from typing import Dict, Optional, Tuple
 
 # device_kind substring (lowercase) -> (peak bf16 FLOP/s, HBM bytes/s).
 # Ordered: first match wins, so more specific strings come first.
@@ -67,6 +68,179 @@ def compiled_cost(jitted_fn, *args, **kwargs) -> Tuple[Optional[float],
                 nbytes if nbytes > 0 else None)
     except Exception:  # noqa: BLE001 — cost analysis is best-effort context
         return None, None
+
+
+# ----------------------------------------------------- HLO traffic account
+#
+# XLA's cost_analysis() "bytes accessed" models operand/result bytes of the
+# UNFUSED graph — it excludes the intermediates the compiled program
+# actually materializes, so HBM utilization computed from it is a floor
+# (round-4 verdict: that made the roofline claim unfalsifiable). The
+# accounting below reads the OPTIMIZED HLO of the exact compiled program:
+# on TPU every top-level HLO op streams its operands from HBM and writes
+# its result back (VMEM persists only inside a fusion), so
+#   traffic = sum over executed top-level ops of (operand bytes + result bytes)
+# is the program's real HBM traffic, modulo physical layout padding (logical
+# sizes are counted, a slight underestimate) and any operand XLA keeps
+# resident across ops (rare at these working-set sizes).
+
+_DTYPE_BYTES = {
+    "pred": 1, "s2": 1, "u2": 1, "s4": 1, "u4": 1, "s8": 1, "u8": 1,
+    "f8e4m3": 1, "f8e5m2": 1, "f8e4m3fn": 1, "f8e4m3b11fnuz": 1,
+    "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "c64": 8,
+    "s64": 8, "u64": 8, "f64": 8, "c128": 16,
+}
+
+_ARRAY_SHAPE_RE = re.compile(
+    r"\b(" + "|".join(_DTYPE_BYTES) + r")\[([\d,]*)\]")
+
+# ops that move no HBM bytes themselves (reads are charged to consumers)
+_FREE_OPS = {
+    "parameter", "constant", "tuple", "get-tuple-element", "bitcast",
+    "after-all",
+}
+
+
+def _shape_bytes(shape_str: str) -> int:
+    """Logical byte size of an HLO result shape (tuples sum elements)."""
+    total = 0
+    for m in _ARRAY_SHAPE_RE.finditer(shape_str):
+        n = _DTYPE_BYTES[m.group(1)]
+        dims = m.group(2)
+        if dims:
+            for d in dims.split(","):
+                n *= int(d)
+        total += n
+    return total
+
+
+_INSTR_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*)$")
+_OPCODE_RE = re.compile(r"^([a-z][\w\-]*)\(")
+
+
+def _parse_instruction(line: str):
+    """(name, result_shape_str, opcode, operand_names) or None."""
+    m = _INSTR_RE.match(line)
+    if not m:
+        return None
+    name, rest = m.group(1), m.group(2)
+    # result shape: a tuple "( ... )" (paren-matched) or one token
+    if rest.startswith("("):
+        depth = 0
+        for i, ch in enumerate(rest):
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth == 0:
+                break
+        shape, rest = rest[: i + 1], rest[i + 1:].lstrip()
+    else:
+        parts = rest.split(" ", 1)
+        shape, rest = parts[0], parts[1] if len(parts) > 1 else ""
+    om = _OPCODE_RE.match(rest)
+    if om is None:
+        return None
+    opcode = om.group(1)
+    # operand section: matched parens after the opcode
+    depth, start = 0, om.end() - 1
+    for i in range(start, len(rest)):
+        depth += rest[i] == "("
+        depth -= rest[i] == ")"
+        if depth == 0:
+            break
+    operands = re.findall(r"%([\w.\-]+)", rest[start: i + 1])
+    return name, shape, opcode, operands
+
+
+def hlo_hbm_traffic(hlo_text: str, default_trip: int = 1) -> Dict:
+    """HBM traffic (bytes) of an optimized-HLO program.
+
+    Counts ENTRY instructions once; `while` bodies/conditions are counted
+    ``default_trip`` times (a lax.scan superstep lowers to one while with a
+    known trip count — pass K). Fusion-internal computations never touch
+    HBM and are excluded; the fusion op itself is charged its operands +
+    result. Returns reads/writes/total plus bookkeeping for sanity checks.
+    """
+    computations: Dict[str, list] = {}
+    comp_attrs: Dict[str, Dict[str, str]] = {}
+    current = None
+    for raw in hlo_text.splitlines():
+        line = raw.rstrip()
+        header = re.match(r"^\s*(ENTRY\s+)?%?([\w.\-]+)\s*\(.*\)\s*->", line)
+        if header and line.rstrip().endswith("{"):
+            current = "ENTRY" if header.group(1) else header.group(2)
+            computations[current] = []
+            continue
+        if line.strip() == "}":
+            current = None
+            continue
+        if current is not None and "=" in line:
+            parsed = _parse_instruction(line)
+            if parsed:
+                computations[current].append(parsed)
+                if parsed[2] == "while":
+                    body = re.search(r"body=%?([\w.\-]+)", line)
+                    cond = re.search(r"condition=%?([\w.\-]+)", line)
+                    comp_attrs[parsed[0]] = {
+                        "body": body.group(1) if body else None,
+                        "cond": cond.group(1) if cond else None,
+                    }
+
+    if "ENTRY" not in computations:
+        return {"total_bytes": None, "note": "no ENTRY computation parsed"}
+
+    def comp_traffic(comp_name: str, shapes: Dict[str, str]):
+        reads = writes = 0
+        whiles = []
+        for name, shape, opcode, operands in computations.get(comp_name, []):
+            shapes[name] = shape
+            if opcode in _FREE_OPS:
+                continue
+            writes += _shape_bytes(shape)
+            for op in operands:
+                reads += _shape_bytes(shapes.get(op, ""))
+            if opcode == "while":
+                whiles.append(name)
+        return reads, writes, whiles
+
+    shapes: Dict[str, str] = {}
+    # pre-register every instruction's shape so cross-computation operand
+    # lookups (while init from ENTRY, etc.) resolve
+    for comp in computations.values():
+        for name, shape, _, _ in comp:
+            shapes[name] = shape
+
+    reads, writes, whiles = comp_traffic("ENTRY", shapes)
+    n_while_body_bytes = 0
+    for w in whiles:
+        attrs = comp_attrs.get(w, {})
+        for sub in (attrs.get("body"), attrs.get("cond")):
+            if sub and sub in computations:
+                r, wr, _nested = comp_traffic(sub, shapes)
+                n_while_body_bytes += (r + wr) * default_trip
+                reads += r * default_trip
+                writes += wr * default_trip
+
+    return {
+        "read_bytes": reads,
+        "write_bytes": writes,
+        "total_bytes": reads + writes,
+        "n_entry_instructions": len(computations["ENTRY"]),
+        "n_while": len(whiles),
+        "while_trip_assumed": default_trip if whiles else None,
+    }
+
+
+def compiled_hbm_traffic(jitted_fn, *args, default_trip: int = 1,
+                         **kwargs) -> Optional[Dict]:
+    """hlo_hbm_traffic of the compiled program for these args (compile hits
+    the executable cache when the fn already ran on these shapes)."""
+    try:
+        compiled = jitted_fn.lower(*args, **kwargs).compile()
+        return hlo_hbm_traffic(compiled.as_text(), default_trip=default_trip)
+    except Exception:  # noqa: BLE001 — best-effort context
+        return None
 
 
 def roofline_report(

@@ -150,9 +150,125 @@ def hard_sync(state, m):
     np.asarray(jax.tree_util.tree_leaves(state.params)[0]).ravel()[0]
 
 
+def bench_entry(ctx, bs: int, k: int, steps: int, legs: int = 1):
+    """Warm up, time `steps` train steps (best of `legs` legs), and return
+    {imgs_per_sec, step_ms, mfu, hbm_util, hbm_util_measured, params,
+    flops_per_step} for one (config, batch, K) point."""
+    import jax
+
+    from outgridvit_tpu.parallel import batch_sharding, superbatch_sharding
+    from outgridvit_tpu.training.steps import (
+        make_train_step,
+        make_train_superstep,
+    )
+    from outgridvit_tpu.utils.roofline import (
+        chip_peaks,
+        compiled_cost,
+        compiled_hbm_traffic,
+        roofline_report,
+    )
+
+    k = max(1, k)
+    if k > 1:
+        step_fn = make_train_superstep(ctx.step_cfg, lr_schedule=ctx.schedule)
+        bshard = superbatch_sharding(ctx.mesh)
+        bshape = (k, bs)
+    else:
+        step_fn = make_train_step(ctx.step_cfg, lr_schedule=ctx.schedule)
+        bshard = batch_sharding(ctx.mesh)
+        bshape = (bs,)
+
+    n_chips = len(jax.devices())
+    state = ctx.fresh_state()
+    batches = ctx.make_batches(bshape, bshard)
+    base = jax.random.PRNGKey(2)
+    n_disp = max(1, steps // k)
+    t0 = time.perf_counter()
+    for i in range(max(1, 16 // k)):
+        state, m = step_fn(state, batches[i % 4], base)
+    hard_sync(state, m)
+    print(f"[bench_config] bs={bs} k={k} warmup+compile "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    leg_dts = []
+    for _ in range(max(1, legs)):
+        t0 = time.perf_counter()
+        for i in range(n_disp):
+            state, m = step_fn(state, batches[i % 4], base)
+        hard_sync(state, m)
+        leg_dts.append(time.perf_counter() - t0)
+    dt = min(leg_dts)
+    rate = bs * k * n_disp / dt
+    step_s = dt / (n_disp * k)
+
+    flops_d, bytes_d = compiled_cost(step_fn, state, batches[0], base)
+    roof = roofline_report(
+        flops_d / k if flops_d else None,
+        bytes_d / k if bytes_d else None,
+        step_s, n_chips=n_chips)
+    traffic = compiled_hbm_traffic(step_fn, state, batches[0], base,
+                                   default_trip=k)
+    if traffic and traffic.get("total_bytes"):
+        bps = traffic["total_bytes"] / k
+        _, peak_bw, _ = chip_peaks()
+        roof["bytes_per_step_hlo"] = bps
+        roof["hbm_util_measured"] = (
+            round(bps / max(step_s, 1e-12) / peak_bw / max(1, n_chips), 4)
+            if peak_bw else None)
+    params = sum(int(p.size)
+                 for p in jax.tree_util.tree_leaves(ctx.variables["params"]))
+    return {"imgs_per_sec": round(rate, 1), "params": params, **roof}
+
+
+# the publish-everything matrix (round-5 verdict ask): every shipped model
+# config gets {imgs/s, step_ms, MFU, roofline, params} each round, matching
+# the reference's habit of publishing throughput for every model it ships
+# (`logs/Logs Models Comparisons Cifrar100 100epocs.txt:49,55-283`).
+MATRIX = (
+    ("modelA_7M_cifar100_32", "configs/cifar100_model_a_7m.yaml", 128, 8),
+    ("modelA_22M_tinyimagenet_64", "configs/tinyimagenet200_model_a.yaml",
+     128, 8),
+    ("modelA_14M_cifar100_64", "configs/cifar100_64_model_a.yaml", 128, 8),
+    ("modelB_cifar100_32", "configs/cifar100_model_b.yaml", 128, 8),
+    ("modelA_14M_svhn_32", "configs/svhn_model_a.yaml", 128, 8),
+)
+
+
+def run_matrix(args) -> int:
+    results = {}
+    for label, cfg_path, bs, k in MATRIX:
+        ctx = BenchContext(cfg_path, None, augment=True)
+        try:
+            row = bench_entry(ctx, bs, k, args.steps, legs=args.legs)
+        except Exception as e:  # noqa: BLE001 — record the failure, continue
+            print(f"[bench_config] {label} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
+            results[label] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+            continue
+        row.update(config=cfg_path, img_size=ctx.img, batch=bs, k=k)
+        results[label] = row
+        print(f"[bench_config] {label}: {row['imgs_per_sec']} imgs/s | "
+              f"{row['step_ms']} ms/step | mfu {row.get('mfu')} | "
+              f"hbm_util_measured {row.get('hbm_util_measured')}",
+              file=sys.stderr)
+    payload = {"matrix": results, "legs": args.legs,
+               "estimator": "min_time_of_legs"}
+    print(json.dumps(payload))
+    if args.out:
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(json.dumps(payload, indent=1))
+        print(f"[bench_config] wrote {args.out}", file=sys.stderr)
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", required=True)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--matrix", action="store_true",
+                    help="bench every shipped config (MATRIX) in one "
+                    "process and emit a single JSON")
+    ap.add_argument("--legs", type=int, default=2)
+    ap.add_argument("--out", default=None)
     ap.add_argument("--batch", type=int, nargs="+", default=[64, 128, 256])
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--ks", type=int, nargs="+", default=None,
@@ -163,6 +279,11 @@ def main() -> int:
     ap.add_argument("--img-size", type=int, default=None)
     ap.add_argument("--no-augment", action="store_true")
     args = ap.parse_args()
+
+    if args.matrix:
+        return run_matrix(args)
+    if not args.config:
+        ap.error("--config is required unless --matrix is given")
 
     import jax
 
