@@ -93,7 +93,7 @@ _DTYPE_BYTES = {
 }
 
 _ARRAY_SHAPE_RE = re.compile(
-    r"\b(" + "|".join(_DTYPE_BYTES) + r")\[([\d,]*)\]")
+    r"\b(" + "|".join(_DTYPE_BYTES) + r")\[([\d,]*)\](\{[^}]*\})?")
 
 # ops that move no HBM bytes themselves (reads are charged to consumers)
 _FREE_OPS = {
@@ -103,9 +103,16 @@ _FREE_OPS = {
 
 
 def _shape_bytes(shape_str: str) -> int:
-    """Logical byte size of an HLO result shape (tuples sum elements)."""
+    """HBM byte size of an HLO result shape (tuples sum elements).
+
+    Buffers whose layout carries a non-default memory space — ``S(1)``
+    VMEM-pinned by memory-space assignment, ``S(2)`` scratch/semaphore,
+    host spaces — do not live in HBM and count zero."""
     total = 0
     for m in _ARRAY_SHAPE_RE.finditer(shape_str):
+        layout = m.group(3) or ""
+        if "S(" in layout and "S(0)" not in layout:
+            continue
         n = _DTYPE_BYTES[m.group(1)]
         dims = m.group(2)
         if dims:
@@ -113,6 +120,24 @@ def _shape_bytes(shape_str: str) -> int:
                 n *= int(d)
         total += n
     return total
+
+
+def _tuple_elements(shape_str: str):
+    """Split a tuple shape into top-level element strings; a non-tuple
+    shape returns [shape_str]."""
+    s = shape_str.strip()
+    if not s.startswith("("):
+        return [s]
+    inner = s[1:-1] if s.endswith(")") else s[1:]
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(inner):
+        depth += ch in "({"
+        depth -= ch in ")}"
+        if ch == "," and depth == 0:
+            parts.append(inner[start:i])
+            start = i + 1
+    parts.append(inner[start:])
+    return [p.strip() for p in parts if p.strip()]
 
 
 _INSTR_RE = re.compile(
@@ -195,9 +220,19 @@ def hlo_hbm_traffic(hlo_text: str, default_trip: int = 1) -> Dict:
         whiles = []
         for name, shape, opcode, operands in computations.get(comp_name, []):
             shapes[name] = shape
-            if opcode in _FREE_OPS:
+            if opcode in _FREE_OPS or opcode.endswith("-done"):
+                # -done retrieves what its matching -start already moved
                 continue
-            writes += _shape_bytes(shape)
+            if opcode == "copy-start":
+                # result = (dest, src-alias, scratch): only dest is written
+                writes += _shape_bytes(_tuple_elements(shape)[0])
+            elif opcode.endswith("-start"):
+                # async family: result = ((operand aliases), outputs...,
+                # scratch) — aliases moved nothing; charge outputs only
+                for el in _tuple_elements(shape)[1:]:
+                    writes += _shape_bytes(el)
+            else:
+                writes += _shape_bytes(shape)
             for op in operands:
                 reads += _shape_bytes(shapes.get(op, ""))
             if opcode == "while":
