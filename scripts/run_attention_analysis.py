@@ -118,6 +118,10 @@ def main() -> int:
         print("Saved plots:", *p1, *p2, sep="\n  ")
 
     stages = tuple(range(len(model_cfg.get("stages", []))))
+    # Model B: front Outlooker blocks capture under the "front" stage key
+    # (experiments/capture.py) — include them in the MAD/entropy sweep
+    if int(model_cfg.get("outlooker_front_depth", 0) or 0) > 0:
+        stages = ("front",) + stages
     compute = (compute_grid_and_outlooker_mad_entropy_by_stage
                if args.entropy else compute_grid_and_outlooker_mad_by_stage)
     rows = compute(
