@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from outgridvit_tpu.ops.grid import grid_partition, grid_unpartition
+from outgridvit_tpu.ops.layout_pin import pin_default
 from outgridvit_tpu.ops.outlook import outlook_aggregate
 from outgridvit_tpu.models.layers import (
     ChannelMLP,
@@ -205,6 +206,11 @@ class MultiHeadSelfAttention(nn.Module):
             grids, unpartition_meta = grid_partition(x, nhwc_grid)
             Bg, Hg, Wg, _ = grids.shape
             x = grids.reshape(Bg, Hg * Wg, grids.shape[-1])
+            # opt-in layout pin (OUTGRIDVIT_PIN_LAYOUT=1): force the
+            # partitioned tokens into the default layout HERE so the 6-D
+            # transpose materializes once, in the layout every Pallas
+            # kernel boundary demands (ops/layout_pin.py).
+            x = pin_default(x)
         if x.ndim != 3:
             raise ValueError(f"Expected [B, N, C]. Got {tuple(x.shape)}")
         B, N, C = x.shape
@@ -363,6 +369,7 @@ class MultiHeadSelfAttention(nn.Module):
                 qkv = x.astype(dt) @ wqkv.astype(dt)
                 if bqkv is not None:
                     qkv = qkv + bqkv.astype(dt)
+                qkv = pin_default(qkv)
                 out = mhsa_kernel(qkv, heads)
                 out = out @ wproj.astype(dt) + bproj.astype(dt)
         else:
@@ -394,6 +401,9 @@ class MultiHeadSelfAttention(nn.Module):
             Hg_, Wg_ = H_ // g_, W_ // g_
             out = grid_unpartition(out.reshape(B, Hg_, Wg_, C),
                                    unpartition_meta)
+            # matching pin on the way out: the unpartition transpose
+            # lands directly in the residual add's default layout.
+            out = pin_default(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 

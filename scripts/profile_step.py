@@ -36,6 +36,15 @@ def build_step(batch_size: int,
     import jax
     import jax.numpy as jnp
 
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("OUTGRIDVIT_JAX_CACHE",
+                           "/tmp/outgridvit_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from outgridvit_tpu.models import build_model
     from outgridvit_tpu.ops.augment import AugmentConfig
     from outgridvit_tpu.parallel import batch_sharding, make_mesh, shard_train_state
